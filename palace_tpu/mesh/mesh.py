@@ -1,0 +1,216 @@
+"""Unstructured mesh as struct-of-arrays, bucketed by element geometry.
+
+Replaces the reference solver's pointer-rich mfem::ParMesh (reference:
+palace/fem/mesh.hpp:20-44, palace/utils/geodata.cpp) with flat numpy
+arrays suitable for XLA: per-geometry element buckets with fixed-width
+connectivity, plus global edge/face entity tables for conforming dof
+numbering.
+
+Element "attributes" follow the Gmsh physical-group convention: domain
+elements carry a domain attribute; boundary (dim-1) elements carry a
+boundary attribute.  All coordinates are stored in nondimensionalized
+units once `scale_coordinates` has been applied.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from palace_tpu.fem import reference as ref
+from palace_tpu.fem.reference import Geom
+from palace_tpu.mesh import gmsh as gmshio
+
+
+@dataclass
+class ElemBucket:
+    """All elements sharing one gmsh element type."""
+
+    etype: int  # gmsh element type id
+    geom: Geom
+    geo_order: int
+    conn: np.ndarray  # (E, num_nodes) int32 node ids
+    attr: np.ndarray  # (E,) int32 attribute (physical tag)
+
+    @property
+    def num_elem(self) -> int:
+        return self.conn.shape[0]
+
+    @property
+    def num_corners(self) -> int:
+        return len(ref.GEOM_VERTICES[self.geom])
+
+    @property
+    def corners(self) -> np.ndarray:
+        """(E, num_corners) corner-vertex node ids."""
+        return self.conn[:, : self.num_corners]
+
+
+class Mesh:
+    """Unstructured (possibly curved, mixed-element) conforming mesh."""
+
+    def __init__(
+        self,
+        nodes: np.ndarray,
+        buckets: List[ElemBucket],
+        bdr_buckets: List[ElemBucket],
+        physical_names: Optional[Dict[tuple, str]] = None,
+    ):
+        self.nodes = np.asarray(nodes, np.float64)
+        self.buckets = buckets
+        self.bdr_buckets = bdr_buckets
+        self.physical_names = physical_names or {}
+        self.dim = max(ref.GEOM_DIM[b.geom] for b in buckets)
+        self._edge_table = None
+        self._face_table = None
+
+        # Used vertices: corner nodes of domain elements.
+        corner_ids = np.concatenate([b.corners.ravel() for b in buckets])
+        self.vertex_ids = np.unique(corner_ids)  # node ids that are vertices
+
+    # -- basic queries ------------------------------------------------------
+
+    @property
+    def num_nodes(self) -> int:
+        return self.nodes.shape[0]
+
+    @property
+    def num_vertices(self) -> int:
+        return len(self.vertex_ids)
+
+    @property
+    def num_elements(self) -> int:
+        return sum(b.num_elem for b in self.buckets)
+
+    def bounding_box(self) -> Tuple[np.ndarray, np.ndarray]:
+        used = np.unique(np.concatenate([b.conn.ravel() for b in self.buckets]))
+        pts = self.nodes[used]
+        return pts.min(axis=0), pts.max(axis=0)
+
+    def attributes(self) -> np.ndarray:
+        return np.unique(np.concatenate([b.attr for b in self.buckets]))
+
+    def bdr_attributes(self) -> np.ndarray:
+        if not self.bdr_buckets:
+            return np.zeros(0, np.int32)
+        return np.unique(np.concatenate([b.attr for b in self.bdr_buckets]))
+
+    def scale_coordinates(self, factor: float):
+        """Divide coordinates by `factor` (mesh units L0 -> nondimensional)."""
+        self.nodes = self.nodes / factor
+
+    # -- entities -----------------------------------------------------------
+
+    def edge_table(self):
+        """Unique mesh edges over domain elements.
+
+        Returns (edge_verts (ne, 2) sorted vertex node-id pairs,
+                 per-bucket edge index arrays [(E, n_edges_of_geom)]).
+        """
+        if self._edge_table is None:
+            all_pairs = []
+            for b in self.buckets:
+                edges = np.array(ref.GEOM_EDGES[b.geom], np.int64)  # (ng, 2)
+                pairs = b.corners[:, edges]  # (E, ng, 2)
+                pairs = np.sort(pairs.astype(np.int64), axis=-1)
+                all_pairs.append(pairs.reshape(-1, 2))
+            cat = np.concatenate(all_pairs)
+            uniq, inv = np.unique(cat, axis=0, return_inverse=True)
+            out = []
+            ofs = 0
+            for b, pairs in zip(self.buckets, all_pairs):
+                ng = len(ref.GEOM_EDGES[b.geom])
+                out.append(inv[ofs : ofs + b.num_elem * ng].reshape(b.num_elem, ng))
+                ofs += b.num_elem * ng
+            self._edge_table = (uniq, out)
+        return self._edge_table
+
+    def face_table(self):
+        """Unique mesh faces (3D meshes): tris and quads.
+
+        Returns (face_verts (nf, 4) sorted vertex ids, -1-padded for tris,
+                 per-bucket face index arrays [(E, n_faces_of_geom)],
+                 face_counts (nf,) number of adjacent domain elements).
+        """
+        if self._face_table is None:
+            all_keys = []
+            for b in self.buckets:
+                faces = ref.GEOM_FACES[b.geom]
+                keys = np.full((b.num_elem, len(faces), 4), -1, np.int64)
+                for i, f in enumerate(faces):
+                    fv = np.sort(b.corners[:, list(f)].astype(np.int64), axis=-1)
+                    keys[:, i, 4 - len(f) :] = fv
+                all_keys.append(keys.reshape(-1, 4))
+            cat = np.concatenate(all_keys)
+            uniq, inv, counts = np.unique(
+                cat, axis=0, return_inverse=True, return_counts=True
+            )
+            out = []
+            ofs = 0
+            for b, keys in zip(self.buckets, all_keys):
+                ng = len(ref.GEOM_FACES[b.geom])
+                out.append(inv[ofs : ofs + b.num_elem * ng].reshape(b.num_elem, ng))
+                ofs += b.num_elem * ng
+            self._face_table = (uniq, out, counts)
+        return self._face_table
+
+    def bdr_face_attr(self) -> Dict[int, int]:
+        """Map from global face id -> boundary attribute (3D meshes)."""
+        uniq, _, _ = self.face_table()
+        out = {}
+        for b in self.bdr_buckets:
+            if ref.GEOM_DIM[b.geom] != self.dim - 1:
+                continue
+            nv = b.num_corners
+            keys = np.full((b.num_elem, 4), -1, np.int64)
+            keys[:, 4 - nv :] = np.sort(b.corners.astype(np.int64), axis=-1)
+            idx = _lookup_rows(uniq, keys)
+            for fid, a in zip(idx, b.attr):
+                if fid >= 0:
+                    out[int(fid)] = int(a)
+        return out
+
+
+def _lookup_rows(table: np.ndarray, queries: np.ndarray) -> np.ndarray:
+    """Find row indices of `queries` in lexicographically-unique `table`.
+
+    Returns -1 for rows not present.
+    """
+    if len(table) == 0:
+        return np.full(len(queries), -1, np.int64)
+    # Lexicographic order over columns (last column most significant for
+    # np.lexsort, so pass reversed).
+    order = np.lexsort(table.T[::-1])
+    tbl = table[order]
+    # Binary search using void view trick.
+    t = np.ascontiguousarray(tbl).view([("", tbl.dtype)] * tbl.shape[1]).ravel()
+    q = np.ascontiguousarray(queries.astype(tbl.dtype)).view(
+        [("", tbl.dtype)] * queries.shape[1]
+    ).ravel()
+    pos = np.searchsorted(t, q)
+    pos = np.clip(pos, 0, len(t) - 1)
+    found = t[pos] == q
+    out = np.where(found, order[pos], -1)
+    return out
+
+
+def load_mesh(path: str) -> Mesh:
+    """Load a mesh file (Gmsh MSH 2.2)."""
+    raw = gmshio.read(path)
+    max_dim = max(
+        gmshio.GMSH_DIM[et]
+        for et in raw.elements
+        if gmshio.GMSH_DIM[et] > 0
+    )
+    buckets, bdr = [], []
+    for et, (conn, phys, _) in sorted(raw.elements.items()):
+        d = gmshio.GMSH_DIM[et]
+        geom, order, _ = ref.gmsh_node_coords(et)
+        b = ElemBucket(et, geom, order, conn, phys.astype(np.int32))
+        if d == max_dim:
+            buckets.append(b)
+        elif d == max_dim - 1:
+            bdr.append(b)
+    return Mesh(raw.nodes, buckets, bdr, raw.physical_names)
