@@ -1,0 +1,110 @@
+"""Electrostatic driver (reference: palace/drivers/electrostaticsolver.cpp).
+
+Per-terminal Laplace solves with unit voltage; Maxwell capacitance matrix
+from field energies C_ij = V_j^T K V_i; charge, probe, and energy
+postprocessing written as Palace-format CSV tables.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Dict
+
+import jax.numpy as jnp
+import numpy as np
+
+from palace_tpu.config import IoData, ValueType
+from palace_tpu.drivers.common import (
+    make_output_dir,
+    prepare_mesh,
+    print_log,
+    solve_spd,
+    write_probe_table,
+    write_surface_flux_table,
+    write_domain_energy_table,
+    write_error_indicators,
+    compute_error_indicator_h1,
+)
+from palace_tpu.models.laplace import LaplaceOperator
+from palace_tpu.post.tables import Column, Table, index_column
+
+
+def solve(iodata: IoData, output_dir: str | None = None):
+    t0 = time.time()
+    mesh = prepare_mesh(iodata)
+    post_dir = make_output_dir(iodata, output_dir)
+    units = iodata.units
+
+    lap = LaplaceOperator.build(iodata, mesh)
+    space = lap.space
+    print_log(iodata, f"electrostatic: {space.num_dofs} dofs, "
+                      f"{mesh.num_elements} elements")
+
+    terminals = sorted(lap.terminals.keys())
+    n = len(terminals)
+    V: Dict[int, np.ndarray] = {}
+    its = []
+    for idx in terminals:
+        xbc, b = lap.excitation(idx)
+        x, it = solve_spd(iodata, lap.Keli, lap.K, b, lap.ess_mask)
+        its.append(it)
+        V[idx] = np.asarray(x)
+        print_log(iodata, f"  terminal {idx}: {it} CG iterations")
+
+    # Capacitance matrix C_ij = V_j^T K V_i (unit voltages).
+    KV = {i: np.asarray(lap.K(jnp.asarray(V[i]))) for i in terminals}
+    C = np.zeros((n, n))
+    for a, i in enumerate(terminals):
+        for b_, j in enumerate(terminals):
+            C[a, b_] = V[j] @ KV[i]
+    C = 0.5 * (C + C.T)
+    # Mutual capacitance matrix (reference: electrostaticsolver.cpp:125-141):
+    # Cm_ij = -C_ij (i != j), Cm_ii = C_ii + sum_{j != i} C_ij.
+    Cm = -C.copy()
+    for a in range(n):
+        Cm[a, a] = C[a, a] + np.sum(np.delete(C[a], a))
+    Cinv = np.linalg.inv(C)
+
+    farads = units.scale_factor(ValueType.CAPACITANCE)
+
+    def write_matrix(fname, name, unit, mat, scale):
+        t = Table()
+        t.add(index_column())
+        for j in terminals:
+            t.add(Column(f"i2{j}", f"{name}[i][{j}] {unit}"))
+        for a, i in enumerate(terminals):
+            t.col("i").data.append(float(i))
+            for b_, j in enumerate(terminals):
+                t.col(f"i2{j}").data.append(mat[a, b_] * scale)
+        t.write(os.path.join(post_dir, fname))
+
+    write_matrix("terminal-C.csv", "C", "(F)", C, farads)
+    write_matrix("terminal-Cinv.csv", "C⁻¹", "(1/F)", Cinv, 1.0 / farads)
+    write_matrix("terminal-Cm.csv", "C_m", "(F)", Cm, farads)
+
+    tv = Table()
+    tv.add(index_column())
+    tv.add(Column("Vinc", "V_inc[i] (V)"))
+    for i in terminals:
+        tv.col("i").data.append(float(i))
+        tv.col("Vinc").data.append(units.dimensionalize(ValueType.VOLTAGE, 1.0))
+    tv.write(os.path.join(post_dir, "terminal-V.csv"))
+
+    # Step-indexed measurements (one row per terminal solve).
+    steps = [(float(i), V[i]) for i in terminals]
+    write_domain_energy_table(iodata, post_dir, lap.K, space, steps,
+                              kind="electric")
+    write_probe_table(iodata, post_dir, space, steps, field="E", negate=True)
+    write_surface_flux_table(iodata, post_dir, space, lap.materials, steps)
+    from palace_tpu.drivers.common import domain_energies
+
+    indicators = [
+        compute_error_indicator_h1(iodata, space, lap.materials, v) for _, v in steps
+    ]
+    energies = [domain_energies(iodata, lap.K, space, v)[0] for _, v in steps]
+    write_error_indicators(post_dir, indicators, energies)
+
+    print_log(iodata, f"electrostatic done in {time.time() - t0:.1f}s")
+    return dict(C=C * farads, Cm=Cm * farads, Cinv=Cinv / farads,
+                iterations=its, num_dofs=space.num_dofs, post_dir=post_dir)

@@ -1,0 +1,247 @@
+"""Field evaluation: point location, probes, and boundary traces.
+
+Replaces the reference solver's GSLIB-based interpolation (reference:
+palace/fem/interpolator.hpp:33-89) with KD-tree candidate search plus
+Newton inversion of the (curved) isoparametric map, and provides the
+boundary-trace quadrature used for surface flux/charge integrals
+(reference: palace/models/surfacepostoperator.hpp).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Optional, Tuple
+
+import numpy as np
+from scipy.spatial import cKDTree
+
+from palace_tpu.fem import reference as ref
+from palace_tpu.fem.reference import Geom
+from palace_tpu.mesh import geometry
+from palace_tpu.mesh.mesh import Mesh
+
+
+def _inside(geom: Geom, xi: np.ndarray, tol: float = 1e-8) -> bool:
+    if geom in (Geom.TET, Geom.TRI):
+        return bool((xi >= -tol).all() and xi.sum() <= 1 + tol)
+    if geom in (Geom.HEX, Geom.QUAD, Geom.LINE):
+        return bool((xi >= -tol).all() and (xi <= 1 + tol).all())
+    if geom is Geom.PRISM:
+        return bool(
+            (xi >= -tol).all() and xi[0] + xi[1] <= 1 + tol and xi[2] <= 1 + tol
+        )
+    raise ValueError(geom)
+
+
+def _newton_invert(basis: ref.NodalBasis, X: np.ndarray, p: np.ndarray,
+                   xi0: np.ndarray, iters: int = 30) -> Tuple[np.ndarray, float]:
+    """Solve sum_i N_i(xi) X_i = p for xi.  Returns (xi, residual)."""
+    xi = xi0.copy()
+    for _ in range(iters):
+        B = basis.eval(xi[None, :])[0]  # (nn,)
+        G = basis.eval_grad(xi[None, :])[0]  # (nn, rdim)
+        r = B @ X - p  # (sdim,)
+        J = X.T @ G  # (sdim, rdim)
+        try:
+            if J.shape[0] == J.shape[1]:
+                dxi = np.linalg.solve(J, r)
+            else:
+                dxi = np.linalg.lstsq(J, r, rcond=None)[0]
+        except np.linalg.LinAlgError:
+            break
+        xi = xi - dxi
+        if np.linalg.norm(dxi) < 1e-14:
+            break
+    B = basis.eval(xi[None, :])[0]
+    return xi, float(np.linalg.norm(B @ X - p))
+
+
+@dataclass
+class PointLocation:
+    bucket: int
+    elem: int
+    xi: np.ndarray  # reference coords
+
+
+class PointLocator:
+    """Locate physical points in (possibly curved) mesh elements."""
+
+    def __init__(self, mesh: Mesh):
+        self.mesh = mesh
+        cents, owners = [], []
+        for bi, b in enumerate(mesh.buckets):
+            c = mesh.nodes[b.corners].mean(axis=1)
+            cents.append(c)
+            owners.append(np.stack(
+                [np.full(b.num_elem, bi), np.arange(b.num_elem)], axis=1))
+        self.centroids = np.concatenate(cents)
+        self.owners = np.concatenate(owners)
+        self.tree = cKDTree(self.centroids)
+
+    def locate(self, points: np.ndarray, k: int = 24) -> List[PointLocation]:
+        points = np.atleast_2d(points)
+        out = []
+        for p in points:
+            _, idxs = self.tree.query(p, k=min(k, len(self.centroids)))
+            idxs = np.atleast_1d(idxs)
+            best = None
+            for gi in idxs:
+                bi, ei = self.owners[gi]
+                b = self.mesh.buckets[bi]
+                basis = ref.gmsh_geometry_basis(b.etype)
+                X = self.mesh.nodes[b.conn[ei]]
+                xi0 = ref.GEOM_VERTICES[b.geom].mean(axis=0)
+                xi, res = _newton_invert(basis, X, p, xi0)
+                if res < 1e-10 and _inside(b.geom, xi, tol=1e-6):
+                    best = PointLocation(int(bi), int(ei), xi)
+                    break
+                if res < 1e-10 and best is None and _inside(b.geom, xi, tol=0.05):
+                    best = PointLocation(int(bi), int(ei), xi)
+            if best is None:
+                raise RuntimeError(f"point {p} not located in mesh")
+            out.append(best)
+        return out
+
+
+def eval_h1(space, u: np.ndarray, locs: List[PointLocation]):
+    """Evaluate (value, physical gradient) of an H1 field at located points."""
+    mesh = space.mesh
+    vals = np.zeros((len(locs),) + u.shape[1:], dtype=u.dtype)
+    grads = np.zeros((len(locs), mesh.nodes.shape[1]) + u.shape[1:], dtype=u.dtype)
+    for i, loc in enumerate(locs):
+        b = mesh.buckets[loc.bucket]
+        basis = space.basis(b.geom)
+        gb = ref.gmsh_geometry_basis(b.etype)
+        dofs = space.elem_dofs[loc.bucket][loc.elem]
+        ue = u[dofs]
+        xi = loc.xi[None, :]
+        B = basis.eval(xi)[0]
+        G = basis.eval_grad(xi)[0]  # (nd, rdim)
+        X = mesh.nodes[b.conn[loc.elem]]
+        J = X.T @ gb.eval_grad(xi)[0]  # (sdim, rdim)
+        Jinv = np.linalg.inv(J)
+        vals[i] = B @ ue
+        grads[i] = Jinv.T @ (G.T @ ue)
+    return vals, grads
+
+
+@dataclass
+class BoundaryTrace:
+    """Quadrature data for evaluating volume fields on boundary facets.
+
+    For each selected boundary element: adjacent volume element, the volume
+    reference coordinates of every surface quadrature point, the surface
+    measure weights, and the outward (or center-oriented) unit normals.
+    """
+
+    bucket: np.ndarray  # (n,) volume bucket per facet
+    elem: np.ndarray  # (n,) volume element per facet
+    xi: np.ndarray  # (n, nq, rdim) volume ref coords
+    wdetJ: np.ndarray  # (n, nq) surface quadrature weights
+    normal: np.ndarray  # (n, nq, sdim) oriented unit normals
+    xq: np.ndarray  # (n, nq, sdim) physical points
+    attr: np.ndarray  # (n,) boundary attribute
+
+
+def boundary_trace(
+    mesh: Mesh,
+    attrs,
+    qorder: int,
+    center: Optional[np.ndarray] = None,
+) -> BoundaryTrace:
+    """Build trace data for boundary elements with the given attributes.
+
+    Normals are oriented away from `center` if given, else outward from the
+    adjacent volume element (out of the computational domain).
+    """
+    attrs = [int(a) for a in attrs]
+    uniq_faces, bucket_face_ids, counts = mesh.face_table()
+
+    # face key -> (volume bucket, elem) for boundary faces (count == 1)
+    from palace_tpu.mesh.mesh import _lookup_rows
+
+    owners = {}
+    for bi, (b, fids) in enumerate(zip(mesh.buckets, bucket_face_ids)):
+        for local in range(fids.shape[1]):
+            for ei, fid in enumerate(fids[:, local]):
+                if counts[fid] == 1:
+                    owners[int(fid)] = (bi, int(ei))
+
+    rows = {"bucket": [], "elem": [], "xi": [], "w": [], "n": [], "x": [], "attr": []}
+    for bb in mesh.bdr_buckets:
+        sel = np.isin(bb.attr, attrs)
+        if not sel.any():
+            continue
+        idx = np.where(sel)[0]
+        gf = geometry.compute(mesh.nodes, bb, qorder, compute_xq=True)
+        nv = bb.num_corners
+        keys = np.full((len(idx), 4), -1, np.int64)
+        keys[:, 4 - nv:] = np.sort(bb.corners[idx].astype(np.int64), axis=-1)
+        fids = _lookup_rows(uniq_faces, keys)
+        for row, ei_b in enumerate(idx):
+            fid = int(fids[row])
+            if fid < 0 or fid not in owners:
+                raise RuntimeError("boundary element has no adjacent volume element")
+            vbi, vei = owners[fid]
+            vb = mesh.buckets[vbi]
+            vbasis = ref.gmsh_geometry_basis(vb.etype)
+            X = mesh.nodes[vb.conn[vei]]
+            xq = gf.xq[ei_b]  # (nq, sdim)
+            xi0 = ref.GEOM_VERTICES[vb.geom].mean(axis=0)
+            xis = np.empty((xq.shape[0], ref.GEOM_DIM[vb.geom]))
+            for q in range(xq.shape[0]):
+                xi, res = _newton_invert(vbasis, X, xq[q], xi0)
+                if res > 1e-8:
+                    raise RuntimeError("surface point inversion failed")
+                xis[q] = xi
+            # Orient normal.
+            n = gf.normal[ei_b].copy()  # (nq, sdim)
+            if center is not None:
+                sgn = np.sign(np.einsum("qs,qs->q", n, xq - center[None, :]))
+                n *= np.where(sgn == 0, 1.0, sgn)[:, None]
+            else:
+                cent = mesh.nodes[vb.corners[vei]].mean(axis=0)
+                sgn = np.sign(np.einsum("qs,qs->q", n, xq - cent[None, :]))
+                n *= np.where(sgn == 0, 1.0, sgn)[:, None]
+            rows["bucket"].append(vbi)
+            rows["elem"].append(vei)
+            rows["xi"].append(xis)
+            rows["w"].append(gf.wdetJ[ei_b])
+            rows["n"].append(n)
+            rows["x"].append(xq)
+            rows["attr"].append(bb.attr[ei_b])
+
+    return BoundaryTrace(
+        bucket=np.array(rows["bucket"], np.int32),
+        elem=np.array(rows["elem"], np.int32),
+        xi=np.array(rows["xi"]),
+        wdetJ=np.array(rows["w"]),
+        normal=np.array(rows["n"]),
+        xq=np.array(rows["x"]),
+        attr=np.array(rows["attr"], np.int32),
+    )
+
+
+def trace_gradient(space, u: np.ndarray, tr: BoundaryTrace) -> np.ndarray:
+    """Physical gradient of an H1 field at boundary-trace quadrature points:
+    (n, nq, sdim)."""
+    mesh = space.mesh
+    n, nq = tr.wdetJ.shape
+    sdim = mesh.nodes.shape[1]
+    out = np.zeros((n, nq, sdim), dtype=u.dtype)
+    for bi, b in enumerate(mesh.buckets):
+        sel = np.where(tr.bucket == bi)[0]
+        if len(sel) == 0:
+            continue
+        basis = space.basis(b.geom)
+        gb = ref.gmsh_geometry_basis(b.etype)
+        xis = tr.xi[sel].reshape(-1, tr.xi.shape[-1])  # (n_sel*nq, rdim)
+        G = basis.eval_grad(xis).reshape(len(sel), nq, -1, xis.shape[-1])
+        Gg = gb.eval_grad(xis).reshape(len(sel), nq, -1, xis.shape[-1])
+        X = mesh.nodes[b.conn[tr.elem[sel]]]  # (n_sel, nn, sdim)
+        J = np.einsum("ens,enqr->eqsr", X, Gg.transpose(0, 2, 1, 3))
+        Jinv = np.linalg.inv(J)
+        ue = u[space.elem_dofs[bi][tr.elem[sel]]]  # (n_sel, nd)
+        gref = np.einsum("eqnr,en->eqr", G, ue)
+        out[sel] = np.einsum("eqrs,eqr->eqs", Jinv, gref)
+    return out

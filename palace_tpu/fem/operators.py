@@ -1,0 +1,117 @@
+"""Bilinear form assembly into matrix-free bucket tables.
+
+The counterpart of the reference solver's BilinearForm + integrator zoo
+(reference: palace/fem/bilinearform.hpp:25-95, palace/fem/integrator.hpp:69-279)
+for the H1 (scalar) integrators; H(curl) integrators live in fem/nd_operators.py.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from palace_tpu.fem import reference as ref
+from palace_tpu.fem.h1 import H1Space
+from palace_tpu.mesh import geometry
+from palace_tpu.ops.partial import BucketTables, PAOperator
+
+
+def default_qorder(p: int, geo_order: int, geom, extra: int = 0) -> int:
+    """Quadrature order exact for 2 p + order(J) + extra (reference:
+    palace/fem/integrator.hpp:25-34; order(J) follows MFEM's
+    IsoparametricTransformation::OrderJ(): g-1 on simplices, g on
+    tensor-product elements)."""
+    from palace_tpu.fem.reference import Geom
+
+    if geom in (Geom.TRI, Geom.TET):
+        oj = max(geo_order - 1, 0)
+    else:
+        oj = geo_order
+    return 2 * p + oj + extra
+
+
+def h1_operator(
+    space: H1Space,
+    *,
+    diffusion_coef: Optional[Dict[int, np.ndarray]] = None,
+    mass_coef: Optional[Dict[int, np.ndarray]] = None,
+    dtype=jnp.float64,
+    qorder: Optional[int] = None,
+    mode: str = "element",
+) -> PAOperator:
+    """(alpha grad u, grad v) + (beta u, v) on an H1 space.
+
+    Coefficients are per-attribute 3x3 tensors (mass uses the scalar trace/3
+    unless a scalar dict is given).
+    """
+    mesh = space.mesh
+    buckets: List[BucketTables] = []
+    for b, ed in zip(mesh.buckets, space.elem_dofs):
+        p = space.order
+        q = qorder or default_qorder(p, b.geo_order, b.geom)
+        gf = geometry.compute(mesh.nodes, b, q)
+        basis = space.basis(b.geom)
+        qpts = gf.qpts
+        B = basis.eval(qpts)
+        G = basis.eval_grad(qpts)
+        qd_diffp = qd_mass = None
+        if diffusion_coef is not None:
+            sdim = mesh.nodes.shape[1]
+            C = _per_elem_tensor(diffusion_coef, b.attr, sdim)
+            # Planar W[r, u][e, q] = wdetJ * (Jinv C Jinv^T)[r, u]: every term
+            # is a fused contiguous multiply-add over (E, nq).
+            Ji = gf.Jinvp  # (r, s, E, nq)
+            r = Ji.shape[0]
+            Wp = np.zeros((r, r) + gf.wdetJ.shape)
+            for rr in range(r):
+                for uu in range(r):
+                    for s_ in range(sdim):
+                        for t_ in range(sdim):
+                            cst = C[:, s_, t_]
+                            if not np.any(cst):
+                                continue
+                            Wp[rr, uu] += Ji[rr, s_] * cst[:, None] * Ji[uu, t_]
+            Wp *= gf.wdetJ[None, None]
+            qd_diffp = Wp
+        if mass_coef is not None:
+            c = _per_elem_scalar(mass_coef, b.attr)
+            qd_mass = gf.wdetJ * c[:, None]
+        buckets.append(
+            BucketTables(gidx=ed, B=B, G=G, qd_diffp=qd_diffp, qd_mass=qd_mass)
+        )
+    return PAOperator(space.num_dofs, buckets, dtype, mode=mode)
+
+
+def _small_abt(A: np.ndarray, B: np.ndarray) -> np.ndarray:
+    """W[..., r, u] = sum_s A[..., r, s] B[..., u, s] via broadcast multiplies."""
+    r, s = A.shape[-2], A.shape[-1]
+    u = B.shape[-2]
+    W = np.zeros(A.shape[:-2] + (r, u))
+    for ss in range(s):
+        W += A[..., :, ss, None] * B[..., None, :, ss]
+    return W
+
+
+def _per_elem_tensor(table: Dict[int, np.ndarray], attrs: np.ndarray, dim: int
+                     ) -> np.ndarray:
+    uniq = np.unique(attrs)
+    amax = int(uniq.max())
+    lut = np.zeros((amax + 1, dim, dim))
+    for a in uniq:
+        t = np.asarray(table[int(a)], float)
+        if t.ndim == 0:
+            t = np.eye(dim) * t
+        lut[int(a)] = t[:dim, :dim]
+    return lut[attrs]
+
+
+def _per_elem_scalar(table: Dict[int, np.ndarray], attrs: np.ndarray) -> np.ndarray:
+    uniq = np.unique(attrs)
+    amax = int(uniq.max())
+    lut = np.zeros(amax + 1)
+    for a in uniq:
+        t = np.asarray(table[int(a)], float)
+        lut[int(a)] = float(t) if t.ndim == 0 else float(np.trace(t) / t.shape[0])
+    return lut[attrs]

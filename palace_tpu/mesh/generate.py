@@ -1,0 +1,103 @@
+"""Structured mesh generation (for tests and built-in geometries).
+
+Box meshes with per-face boundary attributes:
+  attributes 1..6 = x=0, x=Lx, y=0, y=Ly, z=0, z=Lz faces; domain attr 1.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from palace_tpu.mesh.mesh import ElemBucket, Mesh
+
+
+def box_hex(nx=4, ny=4, nz=4, lx=1.0, ly=1.0, lz=1.0) -> Mesh:
+    xs = np.linspace(0, lx, nx + 1)
+    ys = np.linspace(0, ly, ny + 1)
+    zs = np.linspace(0, lz, nz + 1)
+    X, Y, Z = np.meshgrid(xs, ys, zs, indexing="ij")
+    nodes = np.stack([X.ravel(), Y.ravel(), Z.ravel()], -1)
+
+    def nid(i, j, k):
+        return (i * (ny + 1) + j) * (nz + 1) + k
+
+    conn = []
+    for i in range(nx):
+        for j in range(ny):
+            for k in range(nz):
+                conn.append(
+                    [
+                        nid(i, j, k), nid(i + 1, j, k),
+                        nid(i + 1, j + 1, k), nid(i, j + 1, k),
+                        nid(i, j, k + 1), nid(i + 1, j, k + 1),
+                        nid(i + 1, j + 1, k + 1), nid(i, j + 1, k + 1),
+                    ]
+                )
+    conn = np.array(conn, np.int32)
+    buckets = [ElemBucket(5, __import__(
+        "palace_tpu.fem.reference", fromlist=["Geom"]).Geom.HEX, 1, conn,
+        np.ones(len(conn), np.int32))]
+
+    bq, battr = [], []
+    for j in range(ny):
+        for k in range(nz):
+            bq.append([nid(0, j, k), nid(0, j + 1, k),
+                       nid(0, j + 1, k + 1), nid(0, j, k + 1)]); battr.append(1)
+            bq.append([nid(nx, j, k), nid(nx, j + 1, k),
+                       nid(nx, j + 1, k + 1), nid(nx, j, k + 1)]); battr.append(2)
+    for i in range(nx):
+        for k in range(nz):
+            bq.append([nid(i, 0, k), nid(i + 1, 0, k),
+                       nid(i + 1, 0, k + 1), nid(i, 0, k + 1)]); battr.append(3)
+            bq.append([nid(i, ny, k), nid(i + 1, ny, k),
+                       nid(i + 1, ny, k + 1), nid(i, ny, k + 1)]); battr.append(4)
+    for i in range(nx):
+        for j in range(ny):
+            bq.append([nid(i, j, 0), nid(i + 1, j, 0),
+                       nid(i + 1, j + 1, 0), nid(i, j + 1, 0)]); battr.append(5)
+            bq.append([nid(i, j, nz), nid(i + 1, j, nz),
+                       nid(i + 1, j + 1, nz), nid(i, j + 1, nz)]); battr.append(6)
+    from palace_tpu.fem.reference import Geom
+
+    bdr = [ElemBucket(3, Geom.QUAD, 1, np.array(bq, np.int32),
+                      np.array(battr, np.int32))]
+    return Mesh(nodes, buckets, bdr)
+
+
+_KUHN_TETS = [
+    (0, 1, 2, 6), (0, 2, 3, 6), (0, 3, 7, 6),
+    (0, 7, 4, 6), (0, 4, 5, 6), (0, 5, 1, 6),
+]
+
+
+def box_tet(nx=4, ny=4, nz=4, lx=1.0, ly=1.0, lz=1.0) -> Mesh:
+    """Box split into 6 tets per hex (Kuhn triangulation: conforming on a
+    structured grid because every hex uses the same diagonal direction)."""
+    hexm = box_hex(nx, ny, nz, lx, ly, lz)
+    hconn = hexm.buckets[0].conn
+    tconn = np.concatenate([hconn[:, list(t)] for t in _KUHN_TETS], axis=0)
+    from palace_tpu.fem.reference import Geom
+
+    buckets = [ElemBucket(4, Geom.TET, 1, tconn.astype(np.int32),
+                          np.ones(len(tconn), np.int32))]
+    # Split boundary quads along the diagonal that exists in the Kuhn split:
+    # quad (a, b, c, d) -> tris consistent with tet faces. The Kuhn split of
+    # the cube cuts each face along the diagonal through the locally smallest
+    # "corner parity"; here we cut along (q0, q2) for faces oriented as built.
+    bq = hexm.bdr_buckets[0]
+    tris, attrs = [], []
+    # Determine actual tet faces to pick matching diagonals.
+    tet_faces = set()
+    for row in tconn:
+        for f in [(0, 1, 2), (0, 1, 3), (0, 2, 3), (1, 2, 3)]:
+            tet_faces.add(tuple(sorted(row[list(f)])))
+    for quad, a in zip(bq.conn, bq.attr):
+        q = quad.tolist()
+        if tuple(sorted((q[0], q[1], q[2]))) in tet_faces:
+            tris += [[q[0], q[1], q[2]], [q[0], q[2], q[3]]]
+        else:
+            tris += [[q[0], q[1], q[3]], [q[1], q[2], q[3]]]
+        attrs += [a, a]
+    bdr = [ElemBucket(2, Geom.TRI, 1, np.array(tris, np.int32),
+                      np.array(attrs, np.int32))]
+    return Mesh(hexm.nodes, buckets, bdr)
