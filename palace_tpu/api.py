@@ -6,6 +6,27 @@ import json
 import os
 
 
+def configure_platform(device: str = "CPU"):
+    """Select the JAX platform from config["Solver"]["Device"] (reference:
+    palace/main.cpp:51-112 device configuration).
+
+    "CPU" runs float64 on host; "GPU"/"TPU" use the accelerator.  The
+    PALACE_TPU_PLATFORM env var overrides the config.  Must run before any
+    jax computation; no-op if jax is already initialized.
+    """
+    import jax
+
+    plat = os.environ.get("PALACE_TPU_PLATFORM")
+    if plat is None:
+        plat = "cpu" if device.upper() in ("CPU", "DEBUG") else "tpu"
+    try:
+        jax.config.update("jax_platforms", plat)
+        if plat == "cpu":
+            jax.config.update("jax_enable_x64", True)
+    except RuntimeError:
+        pass
+
+
 def run(config_path: str, output_dir: str | None = None, dry_run: bool = False):
     """Load a configuration file and run the requested problem type.
 
@@ -16,6 +37,8 @@ def run(config_path: str, output_dir: str | None = None, dry_run: bool = False):
     iodata = IoData(config_path)
     if dry_run:
         return iodata
+
+    configure_platform(iodata.solver.device)
 
     from palace_tpu.drivers import get_driver
 

@@ -125,6 +125,27 @@ def eval_h1(space, u: np.ndarray, locs: List[PointLocation]):
     return vals, grads
 
 
+def eval_nd(space, u: np.ndarray, locs: List[PointLocation],
+            which: str = "value") -> np.ndarray:
+    """ND field value or curl at located points: (npts, 3)."""
+    mesh = space.mesh
+    sdim = mesh.nodes.shape[1]
+    out = np.zeros((len(locs), sdim), dtype=u.dtype)
+    for i, loc in enumerate(locs):
+        b = mesh.buckets[loc.bucket]
+        xi = loc.xi[None, :]
+        V, C = space.basis_tables(b.geom, xi)
+        gb = ref.gmsh_geometry_basis(b.etype)
+        X = mesh.nodes[b.conn[loc.elem]]
+        J = X.T @ gb.eval_grad(xi)[0]
+        ue = u[space.elem_dofs[loc.bucket][loc.elem]]
+        if which == "value":
+            out[i] = np.linalg.inv(J).T @ (V[0].T @ ue)
+        else:
+            out[i] = J @ (C[0].T @ ue) / np.linalg.det(J)
+    return out
+
+
 @dataclass
 class BoundaryTrace:
     """Quadrature data for evaluating volume fields on boundary facets.
@@ -164,7 +185,7 @@ def boundary_trace(
     for bi, (b, fids) in enumerate(zip(mesh.buckets, bucket_face_ids)):
         for local in range(fids.shape[1]):
             for ei, fid in enumerate(fids[:, local]):
-                if counts[fid] == 1:
+                if int(fid) not in owners:
                     owners[int(fid)] = (bi, int(ei))
 
     rows = {"bucket": [], "elem": [], "xi": [], "w": [], "n": [], "x": [], "attr": []}
@@ -220,6 +241,42 @@ def boundary_trace(
         xq=np.array(rows["x"]),
         attr=np.array(rows["attr"], np.int32),
     )
+
+
+def trace_nd(space, u: np.ndarray, tr: BoundaryTrace, which: str = "value"
+             ) -> np.ndarray:
+    """ND field (or its curl) at boundary-trace quadrature points: (n, nq, 3).
+
+    which="value": u_phys = J^{-T} u_ref; which="curl": curl u = (1/detJ) J c_ref.
+    """
+    from palace_tpu.utils import smallmat
+
+    mesh = space.mesh
+    n, nq = tr.wdetJ.shape
+    sdim = mesh.nodes.shape[1]
+    out = np.zeros((n, nq, sdim), dtype=u.dtype)
+    for bi, b in enumerate(mesh.buckets):
+        sel = np.where(tr.bucket == bi)[0]
+        if len(sel) == 0:
+            continue
+        xis = tr.xi[sel].reshape(-1, tr.xi.shape[-1])
+        V, C = space.basis_tables(b.geom, xis)
+        V = V.reshape(len(sel), nq, -1, V.shape[-1])
+        C = C.reshape(len(sel), nq, -1, C.shape[-1])
+        gb = ref.gmsh_geometry_basis(b.etype)
+        Gg = gb.eval_grad(xis).reshape(len(sel), nq, -1, xis.shape[-1])
+        X = mesh.nodes[b.conn[tr.elem[sel]]]
+        J = np.einsum("ens,enqr->eqsr", X, Gg.transpose(0, 2, 1, 3))
+        ue = u[space.elem_dofs[bi][tr.elem[sel]]]
+        if which == "value":
+            Jinv = smallmat.inv(J)
+            vref = np.einsum("eqnr,en->eqr", V, ue)
+            out[sel] = np.einsum("eqrs,eqr->eqs", Jinv, vref)
+        else:
+            detJ = smallmat.det(J)
+            cref = np.einsum("eqnr,en->eqr", C, ue)
+            out[sel] = np.einsum("eqsr,eqr->eqs", J, cref) / detJ[..., None]
+    return out
 
 
 def trace_gradient(space, u: np.ndarray, tr: BoundaryTrace) -> np.ndarray:

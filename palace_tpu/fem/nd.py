@@ -1,0 +1,264 @@
+"""H(curl)-conforming Nedelec spaces (first kind) on tetrahedra.
+
+The TPU-native replacement for MFEM's ND spaces + DofTransformations
+(reference: palace/fem/fespace.hpp:41-62, palace/fem/libceed/restriction.cpp):
+after :func:`palace_tpu.mesh.mesh.canonicalize_simplices` every tet lists its
+vertices in increasing global order, so basis functions built on sorted
+barycentric coordinates are automatically conforming across elements — no
+orientation signs or dof transformation matrices exist anywhere.
+
+Basis functions are represented symbolically as sums of terms
+``coef * lambda^alpha * grad(lambda_g)`` (the Arnold-Falk-Winther geometric
+decomposition of the P^-_p Lambda^1 family), which gives exact reference
+values and curls at arbitrary points for any order.
+"""
+
+from __future__ import annotations
+
+import functools
+import itertools
+from dataclasses import dataclass, field
+from typing import Dict, List, Sequence, Tuple
+
+import numpy as np
+
+from palace_tpu.fem import dofmap, reference as ref
+from palace_tpu.fem.reference import Geom
+from palace_tpu.mesh.mesh import Mesh
+
+# Reference barycentric gradients for the unit tet (columns are grad lambda_i).
+_TET_DLAM = np.array(
+    [[-1.0, 1.0, 0.0, 0.0], [-1.0, 0.0, 1.0, 0.0], [-1.0, 0.0, 0.0, 1.0]]
+).T  # (4, 3): row i = grad lambda_i
+_TRI_DLAM = np.array([[-1.0, 1.0, 0.0], [-1.0, 0.0, 1.0]]).T  # (3, 2)
+
+
+def _lam(pts: np.ndarray, nvert: int) -> np.ndarray:
+    """Barycentric values (npts, nvert)."""
+    return np.concatenate([1.0 - pts.sum(axis=1, keepdims=True), pts], axis=1)
+
+
+@dataclass
+class Term:
+    coef: float
+    alpha: Tuple[int, ...]  # lambda exponents
+    g: int  # gradient index
+
+
+@dataclass
+class NDBasisFn:
+    terms: List[Term]
+    kind: int  # dofmap.KIND_EDGE / KIND_TRI / KIND_INTERIOR
+    verts: Tuple[int, ...]  # entity local vertices (sorted)
+    variant: int
+
+
+def _W(a: int, b: int, nv: int) -> List[Term]:
+    """Whitney edge function lambda_a grad lambda_b - lambda_b grad lambda_a."""
+    ea = tuple(1 if i == a else 0 for i in range(nv))
+    eb = tuple(1 if i == b else 0 for i in range(nv))
+    return [Term(1.0, ea, b), Term(-1.0, eb, a)]
+
+
+def _scale_terms(terms: List[Term], idx: int, nv: int) -> List[Term]:
+    """Multiply a term list by lambda_idx."""
+    out = []
+    for t in terms:
+        alpha = list(t.alpha)
+        alpha[idx] += 1
+        out.append(Term(t.coef, tuple(alpha), t.g))
+    return out
+
+
+def _grad_prod(a: int, b: int, nv: int) -> List[Term]:
+    """grad(lambda_a lambda_b) = lambda_a grad lambda_b + lambda_b grad lambda_a."""
+    ea = tuple(1 if i == a else 0 for i in range(nv))
+    eb = tuple(1 if i == b else 0 for i in range(nv))
+    return [Term(1.0, ea, b), Term(1.0, eb, a)]
+
+
+@functools.lru_cache(maxsize=None)
+def nd_basis_tet(p: int) -> Tuple[NDBasisFn, ...]:
+    """First-kind Nedelec basis on the (sorted-vertex) reference tet.
+
+    Order 1: Whitney edge functions (6 dofs).
+    Order 2: + gradient edge functions and 2 face functions per face (20).
+    Order 3: + 3rd edge fns, 6 face fns/face, 3 interior (45), following the
+    P^-_p geometric decomposition.
+    """
+    nv = 4
+    edges = ref.GEOM_EDGES[Geom.TET]
+    faces = ref.GEOM_FACES[Geom.TET]
+    fns: List[NDBasisFn] = []
+    if p < 1:
+        raise ValueError("ND order must be >= 1")
+    for (a, b) in edges:
+        fns.append(NDBasisFn(_W(a, b, nv), dofmap.KIND_EDGE, (a, b), 0))
+        if p >= 2:
+            fns.append(NDBasisFn(_grad_prod(a, b, nv), dofmap.KIND_EDGE, (a, b), 1))
+    if p >= 2:
+        for (a, b, c) in faces:
+            fns.append(
+                NDBasisFn(_scale_terms(_W(a, b, nv), c, nv), dofmap.KIND_TRI,
+                          (a, b, c), 0)
+            )
+            fns.append(
+                NDBasisFn(_scale_terms(_W(a, c, nv), b, nv), dofmap.KIND_TRI,
+                          (a, b, c), 1)
+            )
+    if p >= 3:
+        raise NotImplementedError(
+            "tet ND order > 2: the full Arnold-Falk-Winther P^-_p family "
+            "lands in a later round")
+    return tuple(fns)
+
+
+def nd_num_dofs_tet(p: int) -> int:
+    return p * (p + 2) * (p + 3) // 2
+
+
+def eval_nd_basis(fns: Sequence[NDBasisFn], pts: np.ndarray, nvert: int = 4):
+    """(values (npts, nfn, dim), curls (npts, nfn, dim)) on the reference tet."""
+    dlam = _TET_DLAM if nvert == 4 else _TRI_DLAM
+    lam = _lam(pts, nvert)
+    npts = len(pts)
+    dim = dlam.shape[1]
+    vals = np.zeros((npts, len(fns), dim))
+    curls = np.zeros((npts, len(fns), 3 if dim == 3 else 1))
+    for j, fn in enumerate(fns):
+        for t in fn.terms:
+            mono = np.ones(npts)
+            for i, a in enumerate(t.alpha):
+                if a:
+                    mono = mono * lam[:, i] ** a
+            vals[:, j] += t.coef * mono[:, None] * dlam[t.g][None, :]
+            # curl(mono * dlam_g) = grad(mono) x dlam_g
+            gmono = np.zeros((npts, dim))
+            for i, a in enumerate(t.alpha):
+                if a:
+                    m2 = np.ones(npts) * a
+                    for i2, a2 in enumerate(t.alpha):
+                        aa = a2 - (1 if i2 == i else 0)
+                        if aa > 0:
+                            m2 = m2 * lam[:, i2] ** aa
+                    gmono += m2[:, None] * dlam[i][None, :]
+            if dim == 3:
+                curls[:, j] += t.coef * np.cross(gmono, dlam[t.g][None, :])
+            else:
+                curls[:, j, 0] += t.coef * (
+                    gmono[:, 0] * dlam[t.g][1] - gmono[:, 1] * dlam[t.g][0]
+                )
+    return vals, curls
+
+
+@functools.lru_cache(maxsize=None)
+def nd_basis_tri(p: int) -> Tuple[NDBasisFn, ...]:
+    """2D first-kind Nedelec basis on the sorted-vertex reference triangle."""
+    nv = 3
+    edges = ref.GEOM_EDGES[Geom.TRI]
+    fns: List[NDBasisFn] = []
+    for (a, b) in edges:
+        fns.append(NDBasisFn(_W(a, b, nv), dofmap.KIND_EDGE, (a, b), 0))
+        if p >= 2:
+            fns.append(NDBasisFn(_grad_prod(a, b, nv), dofmap.KIND_EDGE, (a, b), 1))
+    if p >= 2:
+        fns.append(NDBasisFn(_scale_terms(_W(0, 1, nv), 2, nv),
+                             dofmap.KIND_TRI, (0, 1, 2), 0))
+        fns.append(NDBasisFn(_scale_terms(_W(0, 2, nv), 1, nv),
+                             dofmap.KIND_TRI, (0, 1, 2), 1))
+    if p >= 3:
+        raise NotImplementedError("2D ND order > 2 lands in a later round")
+    return tuple(fns)
+
+
+class NDSpace:
+    """H(curl) space on (sorted-simplex) meshes.  Tets in 3D, tris in 2D."""
+
+    def __init__(self, mesh: Mesh, order: int):
+        self.mesh = mesh
+        self.order = order
+        all_keys = []
+        shapes = []
+        self._fns: Dict[Geom, Tuple[NDBasisFn, ...]] = {}
+        for bid, b in enumerate(mesh.buckets):
+            if b.geom is Geom.TET:
+                fns = nd_basis_tet(order)
+            elif b.geom is Geom.TRI:
+                fns = nd_basis_tri(order)
+            else:
+                raise NotImplementedError(
+                    f"ND space on {b.geom} requires the tensor-product path "
+                    "(hex/prism Nedelec lands with the high-order hex kernels)"
+                )
+            self._fns[b.geom] = fns
+            corners = b.corners.astype(np.int64)
+            if not (np.diff(corners, axis=1) > 0).all():
+                raise RuntimeError(
+                    "NDSpace requires canonicalize_simplices(mesh) first"
+                )
+            E = b.num_elem
+            keys = np.empty((E, len(fns), 7), np.int64)
+            interior_count = 0
+            for n, fn in enumerate(fns):
+                if fn.kind == dofmap.KIND_EDGE:
+                    a, bb = fn.verts
+                    keys[:, n] = dofmap.edge_keys(
+                        corners[:, a], corners[:, bb],
+                        np.zeros(E, np.int64), 1, variant=fn.variant,
+                    )
+                elif fn.kind == dofmap.KIND_TRI:
+                    vids = corners[:, list(fn.verts)]
+                    keys[:, n] = dofmap.tri_keys(
+                        vids, np.zeros((E, 3), np.int64), variant=fn.variant
+                    )
+                else:
+                    keys[:, n] = dofmap.interior_keys(
+                        bid, np.arange(E), np.full(E, interior_count)
+                    )
+                    interior_count += 1
+            all_keys.append(keys.reshape(E * len(fns), 7))
+            shapes.append((E, len(fns)))
+        cat = np.concatenate(all_keys)
+        self.num_dofs, ids, self.unique_keys = dofmap.number_dofs(cat)
+        self.elem_dofs: List[np.ndarray] = []
+        ofs = 0
+        for (E, nd) in shapes:
+            self.elem_dofs.append(ids[ofs : ofs + E * nd].reshape(E, nd))
+            ofs += E * nd
+
+    def basis_tables(self, geom: Geom, pts: np.ndarray):
+        fns = self._fns[geom]
+        nvert = 4 if geom is Geom.TET else 3
+        return eval_nd_basis(fns, pts, nvert)
+
+    def boundary_dofs(self, attrs: Sequence[int]) -> np.ndarray:
+        """Dofs with nonzero tangential trace on the given boundary attrs
+        (edge and face dofs of those facets) — the PEC essential set."""
+        attrs = set(int(a) for a in attrs)
+        p = self.order
+        found = []
+        for b in self.mesh.bdr_buckets:
+            if b.geom is not Geom.TRI:
+                continue
+            sel = np.isin(b.attr, list(attrs))
+            if not sel.any():
+                continue
+            corners = b.corners[sel].astype(np.int64)
+            E = corners.shape[0]
+            keys = []
+            for (a, bb) in ref.GEOM_EDGES[Geom.TRI]:
+                for v in range(p):
+                    keys.append(dofmap.edge_keys(
+                        corners[:, a], corners[:, bb],
+                        np.zeros(E, np.int64), 1, variant=v))
+            if p >= 2:
+                nface = {2: 2, 3: 6}[p]
+                for v in range(nface):
+                    keys.append(dofmap.tri_keys(
+                        corners, np.zeros((E, 3), np.int64), variant=v))
+            k = np.concatenate(keys)
+            ids = dofmap.lookup_keys(self.unique_keys, k)
+            found.append(ids[ids >= 0])
+        if not found:
+            return np.zeros(0, np.int32)
+        return np.unique(np.concatenate(found)).astype(np.int32)

@@ -1,0 +1,161 @@
+"""H(curl) bilinear forms: mass (eps u, v) and curl-curl (nu curl u, curl v).
+
+Covariant (value) transform: u = J^{-T} u_ref, so the mass qdata has the
+same Jinv C Jinv^T form as the H1 diffusion qdata; contravariant (curl)
+transform: curl u = (1/detJ) J curl_ref u_ref, so the curl-curl qdata is
+(w / |detJ|) J^T nu J.  (Reference qfunctions:
+palace/fem/qfunctions/33/hcurl_33_qf.h, hcurlhdiv_33_qf.h.)
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from palace_tpu.fem import reference as ref
+from palace_tpu.fem.nd import NDSpace
+from palace_tpu.fem.operators import default_qorder, _per_elem_tensor
+from palace_tpu.mesh import geometry
+from palace_tpu.ops.partial import BucketTables, PAOperator
+
+
+def _planar_sandwich(Ap, C, right_p, wscale):
+    """W[r, u] = wscale * sum_{s,t} Ap[r,s] C[:,s,t] right_p[u,t], planar."""
+    r = Ap.shape[0]
+    sdim = C.shape[-1]
+    Wp = np.zeros((r, r) + wscale.shape)
+    for rr in range(r):
+        for uu in range(r):
+            for s_ in range(sdim):
+                for t_ in range(sdim):
+                    cst = C[:, s_, t_]
+                    if not np.any(cst):
+                        continue
+                    Wp[rr, uu] += Ap[rr, s_] * cst[:, None] * right_p[uu, t_]
+    Wp *= wscale[None, None]
+    return Wp
+
+
+def nd_operator(
+    space: NDSpace,
+    *,
+    curl_coef: Optional[Dict[int, np.ndarray]] = None,
+    mass_coef: Optional[Dict[int, np.ndarray]] = None,
+    dtype=jnp.float64,
+    qorder: Optional[int] = None,
+    shift: float = 0.0,
+) -> PAOperator:
+    """(nu curl u, curl v) + (eps u, v) on an ND space.
+
+    `shift` scales the mass term (for K + shift*M preconditioner matrices,
+    reference: palace/models/spaceoperator.hpp:49-50).
+    """
+    mesh = space.mesh
+    sdim = mesh.nodes.shape[1]
+    buckets: List[BucketTables] = []
+    for b, ed in zip(mesh.buckets, space.elem_dofs):
+        p = space.order
+        q = qorder or default_qorder(p, b.geo_order, b.geom)
+        gf = geometry.compute(mesh.nodes, b, q)
+        V, C = space.basis_tables(b.geom, gf.qpts)  # (nq, nd, dim), (nq, nd, dc)
+        E = b.num_elem
+        A = None
+        if mass_coef is not None:
+            Cm = _per_elem_tensor(mass_coef, b.attr, sdim)
+            if shift != 0.0:
+                Cm = Cm * shift
+            Wm = _planar_sandwich(gf.Jinvp, Cm, gf.Jinvp, gf.wdetJ)
+            A = _assemble(V, Wm)
+        if curl_coef is not None:
+            Cc = _per_elem_tensor(curl_coef, b.attr, sdim)
+            if sdim == 3:
+                # (w/|detJ|) J^T nu J  (planar: Jp is (s, r, E, nq))
+                JT = gf.Jp.transpose(1, 0, 2, 3)  # (r, s, E, nq)
+                wsc = gf.w[None, :] / np.abs(gf.detJ)
+                Wc = _planar_sandwich(JT, Cc, JT, wsc)
+            else:
+                # 2D: curl is scalar; (curl u, curl v) -> w/|detJ| * nu_zz
+                nu = Cc[:, 2, 2] if Cc.shape[-1] > 2 else Cc[:, 0, 0]
+                Wc = (gf.w[None, :] / np.abs(gf.detJ) * nu[:, None])[None, None]
+            Ac = _assemble(C, Wc)
+            A = Ac if A is None else A + Ac
+        buckets.append(BucketTables(gidx=ed, A=A))
+    return PAOperator(space.num_dofs, buckets, dtype, mode="element")
+
+
+def _assemble(G: np.ndarray, Wp: np.ndarray) -> np.ndarray:
+    """A[e] = sum_q G_q^T W_q G_q from planar qdata Wp (d, d, E, nq) and
+    shared tables G (nq, nd, d): one dgemm against the static S tensor."""
+    nq, nd, d = G.shape
+    dd = Wp.shape[0]
+    assert dd == d or (dd == 1 and d == 1), (dd, d)
+    E = Wp.shape[2]
+    S = (
+        G.transpose(2, 0, 1)[:, None, :, :, None]
+        * G.transpose(2, 0, 1)[None, :, :, None, :]
+    ).reshape(d * d * nq, nd * nd)
+    W = np.ascontiguousarray(
+        np.moveaxis(Wp.reshape(d * d, E, nq), 1, 0)
+    ).reshape(E, d * d * nq)
+    return (W @ S).reshape(E, nd, nd)
+
+
+def nd_h1_gradient(nd_space: NDSpace, h1_space) -> "object":
+    """Discrete gradient matrix G: H1_p -> ND_p with grad(V_h) = G V_h exactly
+    (reference: palace/models/spaceoperator.hpp:255-267 discrete Grad).
+
+    The coefficient relation is geometry-independent (both transforms are
+    covariant), so one reference-space least-squares per geometry yields the
+    per-element local matrix, assembled into a global scipy CSR.
+    """
+    import scipy.sparse as sp
+
+    mesh = nd_space.mesh
+    rows, cols, vals = [], [], []
+    seen = np.zeros(nd_space.num_dofs, bool)
+    for bi, b in enumerate(mesh.buckets):
+        geom = b.geom
+        p = nd_space.order
+        pts, _ = ref.quadrature(geom, 2 * p + 2)
+        V, _ = nd_space.basis_tables(geom, pts)  # (nq, nd_nd, dim)
+        h1b = h1_space.basis(geom)
+        Gh1 = h1b.eval_grad(pts)  # (nq, nd_h1, dim)
+        nq, ndn, dim = V.shape
+        ndh = Gh1.shape[1]
+        Vm = V.transpose(0, 2, 1).reshape(nq * dim, ndn)
+        Gm = Gh1.transpose(0, 2, 1).reshape(nq * dim, ndh)
+        loc, res, rank, _ = np.linalg.lstsq(Vm, Gm, rcond=None)  # (ndn, ndh)
+        resid = np.linalg.norm(Vm @ loc - Gm)
+        if resid > 1e-8:
+            raise RuntimeError(
+                f"discrete gradient: grad(H1_{p}) not contained in ND_{p} "
+                f"basis span on {geom} (residual {resid:.2e})"
+            )
+        loc[np.abs(loc) < 1e-12] = 0.0
+        ndofs = nd_space.elem_dofs[bi]
+        hdofs = h1_space.elem_dofs[bi]
+        E = b.num_elem
+        # Each ND row is written by (any) one adjacent element; filter dups.
+        for n in range(ndn):
+            nz = np.nonzero(loc[n])[0]
+            if len(nz) == 0:
+                continue
+            r = ndofs[:, n]
+            # One owning element per global nd dof (first occurrence in this
+            # slot, and nothing already owned by an earlier slot/bucket).
+            uniq_r, first = np.unique(r, return_index=True)
+            keep = first[~seen[uniq_r]]
+            if len(keep) == 0:
+                continue
+            seen[r[keep]] = True
+            for m in nz:
+                rows.append(r[keep])
+                cols.append(hdofs[keep, m])
+                vals.append(np.full(len(keep), loc[n, m]))
+    G = sp.coo_matrix(
+        (np.concatenate(vals), (np.concatenate(rows), np.concatenate(cols))),
+        shape=(nd_space.num_dofs, h1_space.num_dofs),
+    ).tocsr()
+    return G

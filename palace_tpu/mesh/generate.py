@@ -11,7 +11,10 @@ import numpy as np
 from palace_tpu.mesh.mesh import ElemBucket, Mesh
 
 
-def box_hex(nx=4, ny=4, nz=4, lx=1.0, ly=1.0, lz=1.0) -> Mesh:
+def box_hex(nx=4, ny=4, nz=4, lx=1.0, ly=1.0, lz=1.0, sheet_j=None,
+            sheet_attr=7) -> Mesh:
+    """Box hex mesh; optional internal sheet of quads at y-layer `sheet_j`
+    (attr `sheet_attr`) for surface-current excitation tests."""
     xs = np.linspace(0, lx, nx + 1)
     ys = np.linspace(0, ly, ny + 1)
     zs = np.linspace(0, lz, nz + 1)
@@ -57,6 +60,12 @@ def box_hex(nx=4, ny=4, nz=4, lx=1.0, ly=1.0, lz=1.0) -> Mesh:
                        nid(i + 1, j + 1, 0), nid(i, j + 1, 0)]); battr.append(5)
             bq.append([nid(i, j, nz), nid(i + 1, j, nz),
                        nid(i + 1, j + 1, nz), nid(i, j + 1, nz)]); battr.append(6)
+    if sheet_j is not None:
+        for i in range(nx):
+            for k in range(nz):
+                bq.append([nid(i, sheet_j, k), nid(i + 1, sheet_j, k),
+                           nid(i + 1, sheet_j, k + 1), nid(i, sheet_j, k + 1)])
+                battr.append(sheet_attr)
     from palace_tpu.fem.reference import Geom
 
     bdr = [ElemBucket(3, Geom.QUAD, 1, np.array(bq, np.int32),
@@ -70,10 +79,11 @@ _KUHN_TETS = [
 ]
 
 
-def box_tet(nx=4, ny=4, nz=4, lx=1.0, ly=1.0, lz=1.0) -> Mesh:
+def box_tet(nx=4, ny=4, nz=4, lx=1.0, ly=1.0, lz=1.0, sheet_j=None,
+            sheet_attr=7) -> Mesh:
     """Box split into 6 tets per hex (Kuhn triangulation: conforming on a
     structured grid because every hex uses the same diagonal direction)."""
-    hexm = box_hex(nx, ny, nz, lx, ly, lz)
+    hexm = box_hex(nx, ny, nz, lx, ly, lz, sheet_j=sheet_j, sheet_attr=sheet_attr)
     hconn = hexm.buckets[0].conn
     tconn = np.concatenate([hconn[:, list(t)] for t in _KUHN_TETS], axis=0)
     from palace_tpu.fem.reference import Geom

@@ -108,7 +108,7 @@ def compute(
 
     if rdim == sdim:
         detJ, Jinvp = _planar_det_inv(Jp)
-        gf = GeomFactors(qpts, w, Jp, detJ, w[None, :] * detJ, Jinvp, None, xq)
+        gf = GeomFactors(qpts, w, Jp, detJ, w[None, :] * np.abs(detJ), Jinvp, None, xq)
         _cache[key] = gf
         return gf
 

@@ -196,6 +196,69 @@ def _lookup_rows(table: np.ndarray, queries: np.ndarray) -> np.ndarray:
     return out
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=None)
+def _simplex_node_perm(etype: int, perm: tuple) -> np.ndarray:
+    """Node re-indexing under a simplex vertex permutation.
+
+    For new-frame gmsh node k, returns the old-frame node index m such that
+    reordering conn[:, m] yields the same physical element with vertices
+    listed in the permuted order: R_old[m] = phi_perm(R_new[k]) where
+    phi maps new reference vertex i to old reference vertex perm[i].
+    """
+    geom, order, R = ref.gmsh_node_coords(etype)
+    V = ref.GEOM_VERTICES[geom]
+    dim = R.shape[1]
+    # Barycentric coordinates of each reference node.
+    lam = np.concatenate([1.0 - R.sum(axis=1, keepdims=True), R], axis=1)
+    # phi(R[k]) = sum_i lam_i(R[k]) * V[perm[i]]
+    Vp = V[list(perm)]
+    phi = lam @ Vp
+    m = np.empty(len(R), np.int64)
+    for k in range(len(R)):
+        d = np.linalg.norm(R - phi[k], axis=1)
+        j = int(np.argmin(d))
+        assert d[j] < 1e-9, "node permutation match failed"
+        m[k] = j
+    return m
+
+
+def canonicalize_simplices(mesh: Mesh):
+    """Reorder every tet/tri element's nodes so corner vertices appear in
+    increasing global index.
+
+    After this transformation all shared entities (edges, faces) have
+    identical intrinsic orientation in every adjacent element, so
+    H(curl)/H(div) bases built on sorted barycentrics are conforming with no
+    sign or DofTransformation machinery (the TPU-native replacement for
+    reference: palace/fem/libceed/restriction.cpp DofTransformations).
+    Jacobians of re-ordered elements may have negative determinant;
+    quadrature weights use |detJ|.
+    """
+    for b in mesh.buckets + mesh.bdr_buckets:
+        if b.geom not in (ref.Geom.TET, ref.Geom.TRI):
+            continue
+        nv = b.num_corners
+        corners = b.conn[:, :nv]
+        order = np.argsort(corners, axis=1)  # per-element permutation
+        # encode class
+        code = np.zeros(b.num_elem, np.int64)
+        for i in range(nv):
+            code = code * nv + order[:, i]
+        for c in np.unique(code):
+            rows = np.where(code == c)[0]
+            perm = tuple(int(x) for x in order[rows[0]])
+            if perm == tuple(range(nv)):
+                continue
+            m = _simplex_node_perm(b.etype, perm)
+            b.conn[rows] = b.conn[rows][:, m]
+    # Invalidate cached entity tables.
+    mesh._edge_table = None
+    mesh._face_table = None
+
+
 def load_mesh(path: str) -> Mesh:
     """Load a mesh file (Gmsh MSH 2.2)."""
     raw = gmshio.read(path)
