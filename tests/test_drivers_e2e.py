@@ -71,3 +71,27 @@ def test_magnetostatic_sheet_e2e(box_case, tmp_path):
     L_expect = mu0 * 0.25 * 1.0e-3
     assert np.isclose(r["M"][0, 0], L_expect, rtol=1e-8), (r["M"], L_expect)
     assert os.path.exists(tmp_path / "out" / "terminal-M.csv")
+
+
+def test_eigenmode_box_cavity_e2e(box_case, tmp_path):
+    """PEC box cavity via config: f_101 = c0/(2) * sqrt(2) / L (analytic)."""
+    mesh = box_tet(3, 3, 3)
+    cfg = {
+        "Problem": {"Type": "Eigenmode", "Verbose": 0, "Output": "out"},
+        "Model": {"Mesh": "box.msh", "L0": 1.0e-2},
+        "Domains": {"Materials": [{"Attributes": [1], "Permittivity": 1.0}]},
+        "Boundaries": {"PEC": {"Attributes": [1, 2, 3, 4, 5, 6]}},
+        "Solver": {
+            "Order": 2,
+            "Eigenmode": {"N": 3, "Target": 15.0, "Tol": 1e-9},
+            "Linear": {"Tol": 1e-9},
+        },
+    }
+    r = palace_tpu.run(box_case(mesh, cfg), output_dir=str(tmp_path / "out"))
+    c0 = 299792458.0
+    f_expect = c0 / 2.0 * np.sqrt(2.0) / 1.0e-2 / 1e9  # GHz
+    f = r["frequencies_ghz"]
+    # triple-degenerate lowest mode within discretization error
+    for i in range(3):
+        assert abs(f[i].real - f_expect) / f_expect < 5e-3, (f, f_expect)
+    assert os.path.exists(tmp_path / "out" / "eig.csv")
