@@ -1,0 +1,392 @@
+"""Driven (frequency sweep) driver (reference: palace/drivers/drivensolver.cpp).
+
+Uniform sweep: per frequency assemble A = K + i omega C - omega^2 M, solve
+for each excitation, measure port V/I/S/power + domain energies + probes,
+and write the reference CSV table set.  The adaptive PROM sweep lives in
+drivers/driven_adaptive.py.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import time
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from palace_tpu.config import IoData, ValueType
+from palace_tpu.drivers.common import (
+    make_output_dir, nondim_point, prepare_mesh, print_log,
+    write_error_indicators,
+)
+from palace_tpu.models.spaceoperator import SpaceOperator
+from palace_tpu.post.tables import Column, Table
+
+
+def driven_samples_ghz(iodata: IoData) -> List[float]:
+    """Flattened, deduplicated frequency sample list in GHz (reference:
+    palace/utils/configfile.cpp:1034-1140 DrivenSolverData)."""
+    cfg = iodata.solver.driven
+    samples: List[float] = []
+
+    def linear_range(min_f, max_f, delta_f):
+        n = int(round((max_f - min_f) / delta_f))
+        return [min_f + i * delta_f for i in range(n + 1)]
+
+    if cfg.min_freq is not None and cfg.max_freq is not None \
+            and cfg.freq_step is not None:
+        samples += linear_range(cfg.min_freq, cfg.max_freq, cfg.freq_step)
+    for s in cfg.samples:
+        stype = s.get("Type", "Point" if "Freq" in s else "Linear")
+        if stype == "Linear":
+            if s.get("FreqStep"):
+                samples += linear_range(s["MinFreq"], s["MaxFreq"], s["FreqStep"])
+            else:
+                n = int(s["NSample"])
+                samples += list(np.linspace(s["MinFreq"], s["MaxFreq"], n))
+        elif stype == "Log":
+            samples += list(np.geomspace(s["MinFreq"], s["MaxFreq"],
+                                         int(s["NSample"])))
+        else:
+            f = s["Freq"]
+            samples += list(f) if isinstance(f, (list, tuple)) else [f]
+    # Deduplicate to 1e-9 GHz.
+    samples = sorted(samples)
+    out: List[float] = []
+    for f in samples:
+        if not out or abs(f - out[-1]) > 1.0e-9:
+            out.append(f)
+    if not out:
+        raise ValueError("driven solver requires frequency samples")
+    return out
+
+
+@dataclass
+class PortMeasurement:
+    V: complex = 0.0
+    I: complex = 0.0
+    S: complex = 0.0
+    P: complex = 0.0
+    I_RLC: Tuple[complex, complex, complex] = (0.0, 0.0, 0.0)
+    inductor_energy: float = 0.0
+    capacitor_energy: float = 0.0
+
+
+@dataclass
+class StepMeasurement:
+    """All measurements for one (excitation, frequency) sample."""
+
+    omega: float
+    ports: Dict[int, PortMeasurement] = field(default_factory=dict)
+    E_elec: float = 0.0
+    E_mag: float = 0.0
+    E_cap: float = 0.0
+    E_ind: float = 0.0
+    domain_E: Dict[int, float] = field(default_factory=dict)
+    domain_M: Dict[int, float] = field(default_factory=dict)
+    probe_E: Optional[np.ndarray] = None  # (nprobe, 3) complex
+    probe_B: Optional[np.ndarray] = None
+
+
+def measure_step(sop: SpaceOperator, E: np.ndarray, omega: float,
+                 excitation_idx: int, port_fn, probe_locs=None) -> StepMeasurement:
+    """Measure ports, energies, probes for one solution vector (reference:
+    palace/models/postoperator.cpp MeasureLumpedPorts/MeasureDomainEnergy)."""
+    m = StepMeasurement(omega=omega)
+
+    def quad(op_dom, op_bdr_buckets, x):
+        """Re x^H A x over domain op + boundary buckets."""
+        tot = 0.0
+        if op_dom is not None:
+            for e in op_dom.element_energy(np.real(x)):
+                tot += 2.0 * float(np.sum(np.asarray(e)))
+            for e in op_dom.element_energy(np.imag(x)):
+                tot += 2.0 * float(np.sum(np.asarray(e)))
+        for b in op_bdr_buckets:
+            xe = x[b.gidx]
+            tot += float(np.real(np.einsum("en,enm,em->", np.conj(xe),
+                                           np.asarray(b.A), xe)))
+        return tot
+
+    # Field energies: E_elec = 1/2 Re E^H M E, E_mag = 1/(2 w^2) Re E^H K E
+    # (domain parts only; the reference uses eps-mass and mu^-1 B RT-mass,
+    # identical values).
+    m.E_elec = 0.5 * quad(sop.M_re, [], E)
+    m.E_mag = 0.5 * quad(sop.K_dom, [], E) / (omega * omega)
+
+    for ecfg in sop.iodata.domains.energies:
+        m.domain_E[ecfg.index] = 0.5 * _masked_energy(sop, sop.M_re, E,
+                                                      ecfg.attributes)
+        m.domain_M[ecfg.index] = 0.5 * _masked_energy(sop, sop.K_dom, E,
+                                                      ecfg.attributes) / (omega ** 2)
+
+    for idx, port in sop.ports.items():
+        pm = PortMeasurement()
+        s, v = port_fn(idx)
+        pm.V = complex(np.dot(v, E))
+        pm.S = complex(np.dot(s, E))
+        I_RLC = [0.0 + 0.0j] * 3
+        for bi, branch in enumerate(("R", "L", "C")):
+            val = {"R": port.R, "L": port.L, "C": port.C}[branch]
+            if abs(val) > 0:
+                I_RLC[bi] = pm.V / port.characteristic_impedance(omega, branch)
+        pm.I_RLC = tuple(I_RLC)
+        pm.I = sum(I_RLC)
+        pm.P = sop.port_power(idx, E, omega)
+        if abs(port.L) > 0:
+            pm.inductor_energy = 0.5 * abs(port.L) * float(
+                np.real(I_RLC[1] * np.conj(I_RLC[1])))
+            m.E_ind += pm.inductor_energy
+        if abs(port.C) > 0:
+            pm.capacitor_energy = 0.5 * abs(port.C) * float(
+                np.real(pm.V * np.conj(pm.V)))
+            m.E_cap += pm.capacitor_energy
+        if idx == _drive_port(sop, excitation_idx):
+            pm.S = pm.S - 1.0
+        m.ports[idx] = pm
+
+    if probe_locs is not None:
+        from palace_tpu.fem import evaluation
+
+        Ev = evaluation.eval_nd(sop.space, E, probe_locs, which="value")
+        Bv = evaluation.eval_nd(sop.space, E, probe_locs, which="curl")
+        m.probe_E = Ev
+        m.probe_B = Bv * (-1.0 / (1j * omega))
+    return m
+
+
+def _drive_port(sop: SpaceOperator, excitation_idx: int) -> Optional[int]:
+    ports = [i for i, p in sop.ports.items() if p.excitation == excitation_idx]
+    return ports[0] if len(ports) == 1 else None
+
+
+def _masked_energy(sop: SpaceOperator, op, x, attrs) -> float:
+    s = 0.0
+    for part in (np.real(x), np.imag(x)):
+        per_bucket = op.element_energy(part)
+        for b, e in zip(sop.mesh.buckets, per_bucket):
+            mask = np.isin(b.attr, attrs)
+            s += 2.0 * float(np.sum(np.asarray(e) * mask))
+    return s
+
+
+def solve(iodata: IoData, output_dir: str | None = None):
+    t0 = time.time()
+    mesh = prepare_mesh(iodata)
+    post_dir = make_output_dir(iodata, output_dir)
+    units = iodata.units
+
+    sop = SpaceOperator(iodata, mesh)
+    print_log(iodata, f"driven: {sop.space.num_dofs} dofs, "
+                      f"{mesh.num_elements} elements, "
+                      f"{len(sop.ports)} lumped ports")
+    if iodata.boundaries.wave_ports:
+        raise NotImplementedError("wave ports land with the 2D mode solver")
+
+    freqs_ghz = driven_samples_ghz(iodata)
+    fscale = units.scale_factor(ValueType.FREQUENCY)
+    omegas = [2 * math.pi * f / fscale for f in freqs_ghz]
+    excitations = sop.excitations()
+    if not excitations:
+        raise ValueError("driven solver requires at least one excited port")
+
+    if iodata.solver.driven.adaptive_tol > 0.0:
+        from palace_tpu.drivers.driven_adaptive import sweep_adaptive
+
+        sols = sweep_adaptive(iodata, sop, omegas, excitations)
+    else:
+        sols = sweep_uniform(iodata, sop, omegas, excitations)
+
+    # Measurements.
+    probe_locs = None
+    if iodata.domains.probes:
+        from palace_tpu.fem import evaluation
+
+        locator = evaluation.PointLocator(mesh)
+        pts = np.array([nondim_point(iodata, p.center)
+                        for p in iodata.domains.probes])
+        probe_locs = locator.locate(pts)
+
+    port_fn_cache: Dict[int, Tuple[np.ndarray, np.ndarray]] = {}
+
+    def port_fn(idx):
+        if idx not in port_fn_cache:
+            port_fn_cache[idx] = sop.port_functionals(idx)
+        return port_fn_cache[idx]
+
+    measurements: Dict[Tuple[int, int], StepMeasurement] = {}
+    for (ex, i), E in sols.items():
+        measurements[(ex, i)] = measure_step(sop, E, omegas[i], ex, port_fn,
+                                             probe_locs)
+
+    write_driven_tables(iodata, sop, post_dir, freqs_ghz, excitations,
+                        measurements)
+    write_error_indicators(post_dir, [np.zeros(mesh.num_elements)])
+    print_log(iodata, f"driven done in {time.time() - t0:.1f}s")
+    return dict(post_dir=post_dir, num_dofs=sop.space.num_dofs,
+                freqs_ghz=freqs_ghz, measurements=measurements)
+
+
+def sweep_uniform(iodata, sop: SpaceOperator, omegas, excitations
+                  ) -> Dict[Tuple[int, int], np.ndarray]:
+    """Frequency loop (reference: drivensolver.cpp:78-233): one sparse-direct
+    factorization per frequency with geometric nested-dissection ordering
+    (the host analog of the reference's METIS-ordered SuperLU_DIST path),
+    reused across excitations."""
+    from palace_tpu.linalg.ordering import dof_coordinates, splu_nd
+
+    K = sop.stiffness_csr()
+    C = sop.damping_csr()
+    M = sop.mass_csr()
+    rhs1 = {ex: sop.rhs1(ex) for ex in excitations}
+    coords = dof_coordinates(sop.space)
+    sols = {}
+    for i, omega in enumerate(omegas):
+        A = sop.system_csr(omega, K, C, M)
+        lu = splu_nd(A, coords)
+        for ex in excitations:
+            b = 1j * omega * rhs1[ex]
+            sols[(ex, i)] = lu.solve(b)
+        print_log(iodata, f"  freq {i + 1}/{len(omegas)} solved "
+                          f"({A.shape[0]} dofs x {len(excitations)} excitations)")
+    return sols
+
+
+# ---------------------------------------------------------------------------
+# CSV output (reference: palace/models/postoperatorcsv.cpp)
+
+
+def _exc_suffix(excitations, ex) -> str:
+    return f"[{ex}]" if len(excitations) > 1 else ""
+
+
+def write_driven_tables(iodata: IoData, sop: SpaceOperator, post_dir: str,
+                        freqs_ghz, excitations, meas):
+    units = iodata.units
+    nfreq = len(freqs_ghz)
+    multi = len(excitations) > 1
+
+    def freq_col():
+        return Column("f", "f (GHz)", min_left_padding=0, precision=8, sign="")
+
+    V = units.scale_factor(ValueType.VOLTAGE)
+    A = units.scale_factor(ValueType.CURRENT)
+    J = units.scale_factor(ValueType.ENERGY)
+    Efield = units.scale_factor(ValueType.FIELD_E)
+    Bfield = units.scale_factor(ValueType.FIELD_B)
+
+    # port-S
+    t = Table()
+    fc = t.add(freq_col())
+    for ex in excitations:
+        sfx = f"[{ex}]" if multi else ""
+        for idx in sop.ports:
+            t.add(Column(f"smag{idx}{ex}", f"|S[{idx}]{sfx}| (dB)"))
+            t.add(Column(f"sarg{idx}{ex}", f"arg(S[{idx}]{sfx}) (deg.)"))
+    for i, f in enumerate(freqs_ghz):
+        fc.data.append(f)
+        for ex in excitations:
+            mm = meas[(ex, i)]
+            for idx in sop.ports:
+                S = mm.ports[idx].S
+                t.col(f"smag{idx}{ex}").data.append(
+                    20.0 * math.log10(max(abs(S), 1e-300)))
+                t.col(f"sarg{idx}{ex}").data.append(
+                    math.degrees(math.atan2(S.imag, S.real)))
+    t.write(os.path.join(post_dir, "port-S.csv"))
+
+    # port-V / port-I
+    for name, unit, scale, inc_fn, get in (
+        ("V", "(V)", V, lambda p: p.excitation_voltage(),
+         lambda pm: pm.V),
+        ("I", "(A)", A,
+         lambda p: (p.excitation_voltage() / p.R if abs(p.R) > 0 else 0.0),
+         lambda pm: pm.I),
+    ):
+        t = Table()
+        fc = t.add(freq_col())
+        for ex in excitations:
+            sfx = f"[{ex}]" if multi else ""
+            drive = [i for i, p in sop.ports.items() if p.excitation == ex]
+            for d in drive:
+                t.add(Column(f"inc{d}{ex}", f"{name}_inc[{d}]{sfx} {unit}"))
+            for idx in sop.ports:
+                t.add(Column(f"re{idx}{ex}", f"Re{{{name}[{idx}]{sfx}}} {unit}"))
+                t.add(Column(f"im{idx}{ex}", f"Im{{{name}[{idx}]{sfx}}} {unit}"))
+        for i, f in enumerate(freqs_ghz):
+            fc.data.append(f)
+            for ex in excitations:
+                mm = meas[(ex, i)]
+                drive = [j for j, p in sop.ports.items() if p.excitation == ex]
+                for d in drive:
+                    t.col(f"inc{d}{ex}").data.append(
+                        inc_fn(sop.ports[d]) * scale)
+                for idx in sop.ports:
+                    val = get(mm.ports[idx])
+                    t.col(f"re{idx}{ex}").data.append(val.real * scale)
+                    t.col(f"im{idx}{ex}").data.append(val.imag * scale)
+        t.write(os.path.join(post_dir, f"port-{name}.csv"))
+
+    # domain-E
+    t = Table()
+    fc = t.add(freq_col())
+    for ex in excitations:
+        sfx = f"[{ex}]" if multi else ""
+        t.add(Column(f"Ee{ex}", f"E_elec{sfx} (J)"))
+        t.add(Column(f"Em{ex}", f"E_mag{sfx} (J)"))
+        t.add(Column(f"Ec{ex}", f"E_cap{sfx} (J)"))
+        t.add(Column(f"Ei{ex}", f"E_ind{sfx} (J)"))
+        for ecfg in iodata.domains.energies:
+            t.add(Column(f"Ee{ecfg.index}_{ex}", f"E_elec[{ecfg.index}]{sfx} (J)"))
+            t.add(Column(f"pe{ecfg.index}_{ex}", f"p_elec[{ecfg.index}]{sfx}"))
+            t.add(Column(f"Em{ecfg.index}_{ex}", f"E_mag[{ecfg.index}]{sfx} (J)"))
+            t.add(Column(f"pm{ecfg.index}_{ex}", f"p_mag[{ecfg.index}]{sfx}"))
+    for i, f in enumerate(freqs_ghz):
+        fc.data.append(f)
+        for ex in excitations:
+            mm = meas[(ex, i)]
+            t.col(f"Ee{ex}").data.append(mm.E_elec * J)
+            t.col(f"Em{ex}").data.append(mm.E_mag * J)
+            t.col(f"Ec{ex}").data.append(mm.E_cap * J)
+            t.col(f"Ei{ex}").data.append(mm.E_ind * J)
+            for ecfg in iodata.domains.energies:
+                Ee = mm.domain_E[ecfg.index]
+                Em = mm.domain_M[ecfg.index]
+                t.col(f"Ee{ecfg.index}_{ex}").data.append(Ee * J)
+                t.col(f"pe{ecfg.index}_{ex}").data.append(
+                    Ee / mm.E_elec if mm.E_elec > 0 else 0.0)
+                t.col(f"Em{ecfg.index}_{ex}").data.append(Em * J)
+                t.col(f"pm{ecfg.index}_{ex}").data.append(
+                    Em / mm.E_mag if mm.E_mag > 0 else 0.0)
+    t.write(os.path.join(post_dir, "domain-E.csv"))
+
+    # probe-E / probe-B
+    if iodata.domains.probes:
+        for name, unit, scale, get in (
+            ("E", "(V/m)", Efield, lambda mm: mm.probe_E),
+            ("B", "(Wb/m²)", Bfield, lambda mm: mm.probe_B),
+        ):
+            t = Table()
+            fc = t.add(freq_col())
+            dims = ["x", "y", "z"]
+            for ex in excitations:
+                sfx = f"[{ex}]" if multi else ""
+                for p in iodata.domains.probes:
+                    for d in dims:
+                        t.add(Column(f"re{d}{p.index}_{ex}",
+                                     f"Re{{{name}_{d}[{p.index}]{sfx}}} {unit}"))
+                        t.add(Column(f"im{d}{p.index}_{ex}",
+                                     f"Im{{{name}_{d}[{p.index}]{sfx}}} {unit}"))
+            for i, f in enumerate(freqs_ghz):
+                fc.data.append(f)
+                for ex in excitations:
+                    vals = get(meas[(ex, i)])
+                    for pi, p in enumerate(iodata.domains.probes):
+                        for di, d in enumerate(dims):
+                            t.col(f"re{d}{p.index}_{ex}").data.append(
+                                vals[pi][di].real * scale)
+                            t.col(f"im{d}{p.index}_{ex}").data.append(
+                                vals[pi][di].imag * scale)
+            t.write(os.path.join(post_dir, f"probe-{name}.csv"))

@@ -1,0 +1,348 @@
+"""Transient driver (reference: palace/drivers/transientsolver.cpp,
+palace/models/timeoperator.cpp).
+
+First-order ODE system on [dE/dt; E; A_B] where, instead of carrying the RT
+B field, we carry the "vector potential accumulator" A_B in the ND space
+with B = -curl A_B: every update the reference applies to its RT B dofs is
+the curl of an ND-space linear combination (rhs3 = -curl E,
+timeoperator.cpp:133-146), so B_ref = -curl(A_B) holds exactly, with the
+same time-discretization coefficients, without an RT space.
+
+Time integration: MFEM's first-order generalized-alpha with rho_inf = 1
+(midpoint family; timeoperator.cpp:317-322) or singly-diagonal implicit RK
+(SDIRK23).  The per-dt implicit system A = dt^2 K + dt C + M is factorized
+once and reused every step (timeoperator.cpp:95-109).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import time
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from palace_tpu.config import IoData, ValueType
+from palace_tpu.drivers.common import (
+    make_output_dir, nondim_point, prepare_mesh, print_log,
+    write_error_indicators,
+)
+from palace_tpu.models.spaceoperator import SpaceOperator
+from palace_tpu.post.tables import Column, Table
+from palace_tpu.utils.excitations import get_excitation
+
+
+class TransientOperator:
+    """M u1' = -(K u2 + C u1) + g'(t) NegJ;  u2' = u1;  A_B' = u2."""
+
+    def __init__(self, iodata: IoData, sop: SpaceOperator, dJ):
+        from scipy.sparse.linalg import splu
+        import scipy.sparse as sp
+
+        self.sop = sop
+        self.dJ = dJ
+        ess = sop.ess_mask
+        free = sp.diags((~ess).astype(float))
+        one = sp.diags(ess.astype(float))
+        self.K = (free @ sop.stiffness_csr() @ free).tocsr()
+        C = sop.damping_csr()
+        self.C = (free @ C @ free).tocsr() if C is not None else None
+        M = sop.mass_csr()
+        if np.iscomplexobj(M.data):
+            raise ValueError("transient solve requires lossless permittivity")
+        self.M = (free @ M @ free + one).tocsr()
+        excitations = sop.excitations()
+        if len(excitations) != 1:
+            raise ValueError("transient solve requires exactly one excitation")
+        self.excitation_idx = next(iter(excitations))
+        self.NegJ = sop.rhs1(self.excitation_idx)
+        self._luM = splu(self.M.tocsc())
+        self._luA = None
+        self._dt = None
+        self._splu = splu
+        self.tol = iodata.solver.linear.tol
+
+    def rhs(self, u1, u2, t):
+        r1 = -(self.K @ u2) + self.dJ(t) * self.NegJ
+        if self.C is not None:
+            r1 -= self.C @ u1
+        return r1
+
+    def mult(self, u1, u2, t):
+        """du = f(u, t): (du1, du2)."""
+        return self._luM.solve(self.rhs(u1, u2, t)), u1
+
+    def implicit_solve(self, dt, u1, u2, t):
+        """Solve M k = f(u + dt k, t): returns (k1, k2) via block elimination
+        (reference: timeoperator.cpp:183-224)."""
+        if self._luA is None or dt != self._dt:
+            import scipy.sparse as sp
+
+            A = (self.M + dt * dt * self.K
+                 + (dt * self.C if self.C is not None else 0.0)).tocsc()
+            self._luA = self._splu(A)
+            self._dt = dt
+        r1 = self.rhs(u1, u2, t)
+        r2 = u1
+        k1 = self._luA.solve(r1 - dt * (self.K @ r2))
+        k2 = r2 + dt * k1
+        return k1, k2
+
+
+class GeneralizedAlpha:
+    """MFEM first-order generalized-alpha (rho_inf = 1: alpha_m = alpha_f =
+    gamma = 1/2, the implicit midpoint family)."""
+
+    def __init__(self, op: TransientOperator, rho_inf: float = 1.0):
+        self.op = op
+        self.am = 0.5 * (3.0 - rho_inf) / (1.0 + rho_inf)
+        self.af = 1.0 / (1.0 + rho_inf)
+        self.gamma = 0.5 + self.am - self.af
+        self.xdot: Optional[Tuple] = None
+
+    def step(self, x, t, dt):
+        """x = (u1, u2, aB); returns (x_new, t + dt)."""
+        op = self.op
+        u1, u2, aB = x
+        if self.xdot is None:
+            d1, d2 = op.mult(u1, u2, t)
+            self.xdot = (d1, d2, u2.copy())
+        ga = self.gamma / self.am
+        c0 = self.af * (1.0 - ga) * dt
+        y1 = u1 + c0 * self.xdot[0]
+        y2 = u2 + c0 * self.xdot[1]
+        yB = aB + c0 * self.xdot[2]
+        dt_eff = ga * self.af * dt
+        k1, k2 = op.implicit_solve(dt_eff, y1, y2, t + self.af * dt)
+        kB = y2 + dt_eff * k2  # rhs3 analog: A_B' = E
+        c1 = (1.0 - ga) * dt
+        c2 = ga * dt
+        x_new = (u1 + c1 * self.xdot[0] + c2 * k1,
+                 u2 + c1 * self.xdot[1] + c2 * k2,
+                 aB + c1 * self.xdot[2] + c2 * kB)
+        oam = 1.0 / self.am
+        self.xdot = (self.xdot[0] * (1.0 - oam) + oam * k1,
+                     self.xdot[1] * (1.0 - oam) + oam * k2,
+                     self.xdot[2] * (1.0 - oam) + oam * kB)
+        return x_new, t + dt
+
+
+def solve(iodata: IoData, output_dir: str | None = None):
+    t0 = time.time()
+    mesh = prepare_mesh(iodata)
+    post_dir = make_output_dir(iodata, output_dir)
+    units = iodata.units
+    cfg = iodata.solver.transient
+
+    sop = SpaceOperator(iodata, mesh)
+    print_log(iodata, f"transient: {sop.space.num_dofs} dofs, "
+                      f"{mesh.num_elements} elements")
+
+    # Nondimensionalize time parameters (reference: configfile.cpp:1620-1627).
+    fscale = units.scale_factor(ValueType.FREQUENCY)
+    tscale = units.scale_factor(ValueType.TIME)
+
+    class NondimPulse:
+        excitation = cfg.excitation
+        pulse_f = 2 * math.pi * cfg.pulse_f / fscale
+        pulse_tau = cfg.pulse_tau / tscale
+
+    g = get_excitation(NondimPulse, dot=False)
+    dg = get_excitation(NondimPulse, dot=True)
+    max_t = cfg.max_t / tscale
+    dt = cfg.delta_t / tscale
+    nstep = int(round(max_t / dt)) + 1
+
+    op = TransientOperator(iodata, sop, dg)
+    if cfg.type not in ("Default", "GeneralizedAlpha"):
+        raise NotImplementedError(f"transient scheme {cfg.type}")
+    ode = GeneralizedAlpha(op)
+
+    n = sop.space.num_dofs
+    x = (np.zeros(n), np.zeros(n), np.zeros(n))
+    t = 0.0
+
+    probe_locs = None
+    if iodata.domains.probes:
+        from palace_tpu.fem import evaluation
+
+        locator = evaluation.PointLocator(mesh)
+        pts = np.array([nondim_point(iodata, p.center)
+                        for p in iodata.domains.probes])
+        probe_locs = locator.locate(pts)
+
+    port_fn = {idx: sop.port_functionals(idx) for idx in sop.ports}
+    rows = []
+    for step_i in range(nstep):
+        if step_i > 0:
+            x, t = ode.step(x, t, dt)
+        rows.append(measure_transient(iodata, sop, op, x, t, g, port_fn,
+                                      probe_locs))
+        if step_i % 50 == 0:
+            print_log(iodata, f"  step {step_i}/{nstep - 1}, "
+                              f"t = {t * tscale:.4f} ns")
+
+    write_transient_tables(iodata, sop, post_dir, rows)
+    write_error_indicators(post_dir, [np.zeros(mesh.num_elements)])
+    print_log(iodata, f"transient done in {time.time() - t0:.1f}s")
+    return dict(post_dir=post_dir, num_dofs=sop.space.num_dofs, rows=rows)
+
+
+def measure_transient(iodata, sop: SpaceOperator, op: TransientOperator, x, t,
+                      g, port_fn, probe_locs):
+    u1, u2, aB = x
+    m: Dict = {"t": t}
+    # E_elec = 1/2 E^T M_eps E (domain); E_mag = 1/2 (curl aB)^T mu^-1 (curl aB)
+    # = the K_dom quadratic form of the accumulator aB.
+    m["E_elec"] = 0.5 * _op_energy(sop.M_re, u2)
+    m["E_mag"] = 0.5 * _op_energy(sop.K_dom, aB)
+    m["E_cap"] = 0.0
+    m["E_ind"] = 0.0
+    m["domain_E"] = {}
+    m["domain_M"] = {}
+    for ecfg in iodata.domains.energies:
+        m["domain_E"][ecfg.index] = 0.5 * _masked(sop, sop.M_re, u2,
+                                                  ecfg.attributes)
+        m["domain_M"][ecfg.index] = 0.5 * _masked(sop, sop.K_dom, aB,
+                                                  ecfg.attributes)
+    m["ports"] = {}
+    for idx, port in sop.ports.items():
+        s, v = port_fn[idx]
+        V = float(v @ u2)
+        # Transient current from P = V I (reference: postoperator.cpp
+        # MeasureLumpedPorts else-branch: I = conj(P/V)); P here from the
+        # instantaneous fields E and H = -mu^-1 curl aB.
+        Pval = _port_power_transient(sop, idx, u2, aB)
+        I = Pval / V if abs(V) > 0 else 0.0
+        m["ports"][idx] = dict(V=V, I=I, P=Pval)
+        if abs(port.L) > 0:
+            m["E_ind"] += 0.5 * abs(port.L) * (I * I)
+        if abs(port.C) > 0:
+            m["E_cap"] += 0.5 * abs(port.C) * (V * V)
+    m["g"] = g(t)
+    if probe_locs is not None:
+        from palace_tpu.fem import evaluation
+
+        m["probe_E"] = evaluation.eval_nd(sop.space, u2, probe_locs, "value")
+        m["probe_B"] = -evaluation.eval_nd(sop.space, aB, probe_locs, "curl")
+    return m
+
+
+def _op_energy(dom_op, x) -> float:
+    """x^T A x over a domain PAOperator (element_energy returns 1/2 x^T A x)."""
+    tot = 0.0
+    for e in dom_op.element_energy(x):
+        tot += 2.0 * float(np.sum(np.asarray(e)))
+    return tot
+
+
+def _masked(sop, dom_op, x, attrs):
+    s = 0.0
+    for b, e in zip(sop.mesh.buckets, dom_op.element_energy(x)):
+        s += 2.0 * float(np.sum(np.asarray(e) * np.isin(b.attr, attrs)))
+    return s
+
+
+def _port_power_transient(sop: SpaceOperator, idx: int, E, aB) -> float:
+    """P(t) = ∫ (E x H) . n dS into the domain, H = -mu^-1 curl aB."""
+    from palace_tpu.fem.evaluation import trace_nd
+
+    P = 0.0
+    for tb in sop._port_trace_bases[idx]:
+        tr = tb.tr
+        attrs = np.empty(len(tr.elem), np.int32)
+        for bi, b in enumerate(sop.mesh.buckets):
+            ssel = tr.bucket == bi
+            attrs[ssel] = b.attr[tr.elem[ssel]]
+        muinv = sop.materials.attr_tensor(sop.materials.inv_permeability, attrs)
+        Ev = trace_nd(sop.space, E, tr, which="value")
+        Bv = -trace_nd(sop.space, aB, tr, which="curl")
+        H = np.einsum("fst,fqt->fqs", muinv, Bv)
+        ExH = np.cross(Ev, H)
+        P += float(np.einsum("fq,fqs,fqs->", tr.wdetJ, ExH, -tr.normal))
+    return P
+
+
+def write_transient_tables(iodata: IoData, sop: SpaceOperator, post_dir, rows):
+    units = iodata.units
+    ns = units.scale_factor(ValueType.TIME)
+    V = units.scale_factor(ValueType.VOLTAGE)
+    A = units.scale_factor(ValueType.CURRENT)
+    J = units.scale_factor(ValueType.ENERGY)
+
+    def time_col():
+        return Column("t", "t (ns)", min_left_padding=0, precision=8, sign="")
+
+    excitation_idx = next(iter(sop.excitations()))
+    drive = [i for i, p in sop.ports.items() if p.excitation == excitation_idx]
+
+    # port-V / port-I
+    for name, unit, scale, inc in (
+        ("V", "(V)", V, lambda p, gval: p.excitation_voltage() * gval),
+        ("I", "(A)", A,
+         lambda p, gval: p.excitation_voltage() / p.R * gval),
+    ):
+        t = Table()
+        tc = t.add(time_col())
+        for d in drive:
+            t.add(Column(f"inc{d}", f"{name}_inc[{d}] {unit}"))
+        for idx in sop.ports:
+            t.add(Column(f"v{idx}", f"{name}[{idx}] {unit}"))
+        for row in rows:
+            tc.data.append(row["t"] * ns)
+            for d in drive:
+                t.col(f"inc{d}").data.append(inc(sop.ports[d], row["g"]) * scale)
+            for idx in sop.ports:
+                t.col(f"v{idx}").data.append(row["ports"][idx][name] * scale)
+        t.write(os.path.join(post_dir, f"port-{name}.csv"))
+
+    # domain-E
+    t = Table()
+    tc = t.add(time_col())
+    t.add(Column("Ee", "E_elec (J)"))
+    t.add(Column("Em", "E_mag (J)"))
+    t.add(Column("Ec", "E_cap (J)"))
+    t.add(Column("Ei", "E_ind (J)"))
+    for ecfg in iodata.domains.energies:
+        t.add(Column(f"Ee{ecfg.index}", f"E_elec[{ecfg.index}] (J)"))
+        t.add(Column(f"pe{ecfg.index}", f"p_elec[{ecfg.index}]"))
+        t.add(Column(f"Em{ecfg.index}", f"E_mag[{ecfg.index}] (J)"))
+        t.add(Column(f"pm{ecfg.index}", f"p_mag[{ecfg.index}]"))
+    for row in rows:
+        tc.data.append(row["t"] * ns)
+        t.col("Ee").data.append(row["E_elec"] * J)
+        t.col("Em").data.append(row["E_mag"] * J)
+        t.col("Ec").data.append(row["E_cap"] * J)
+        t.col("Ei").data.append(row["E_ind"] * J)
+        for ecfg in iodata.domains.energies:
+            Ee, Em = row["domain_E"][ecfg.index], row["domain_M"][ecfg.index]
+            t.col(f"Ee{ecfg.index}").data.append(Ee * J)
+            t.col(f"pe{ecfg.index}").data.append(
+                Ee / row["E_elec"] if row["E_elec"] > 0 else 0.0)
+            t.col(f"Em{ecfg.index}").data.append(Em * J)
+            t.col(f"pm{ecfg.index}").data.append(
+                Em / row["E_mag"] if row["E_mag"] > 0 else 0.0)
+    t.write(os.path.join(post_dir, "domain-E.csv"))
+
+    # probes
+    if iodata.domains.probes:
+        Efield = units.scale_factor(ValueType.FIELD_E)
+        Bfield = units.scale_factor(ValueType.FIELD_B)
+        for name, unit, scale, key in (
+            ("E", "(V/m)", Efield, "probe_E"),
+            ("B", "(Wb/m²)", Bfield, "probe_B"),
+        ):
+            t = Table()
+            tc = t.add(time_col())
+            dims = ["x", "y", "z"]
+            for p in iodata.domains.probes:
+                for d in dims:
+                    t.add(Column(f"{d}{p.index}", f"{name}_{d}[{p.index}] {unit}"))
+            for row in rows:
+                tc.data.append(row["t"] * ns)
+                for pi, p in enumerate(iodata.domains.probes):
+                    for di, d in enumerate(dims):
+                        t.col(f"{d}{p.index}").data.append(
+                            float(row[key][pi][di]) * scale)
+            t.write(os.path.join(post_dir, f"probe-{name}.csv"))

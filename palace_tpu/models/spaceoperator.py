@@ -1,0 +1,278 @@
+"""Frequency/time-domain Maxwell system assembly on the ND space.
+
+The counterpart of the reference solver's SpaceOperator (reference:
+palace/models/spaceoperator.hpp:46-295): builds the K (curl-curl +
+inductive boundary), C (conductivity + resistive/absorbing boundary), and
+M (permittivity + capacitive boundary) operators, PEC essential dofs, and
+the lumped-port excitation RHS, with the driven system
+
+    A(omega) = K + i omega C - omega^2 M            (drivensolver.cpp:176-181)
+
+and measurement functionals (port V/S) as precomputed vectors.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+import scipy.sparse as sp
+
+from palace_tpu.config import IoData
+from palace_tpu.fem.evaluation import boundary_trace
+from palace_tpu.fem.nd import NDSpace
+from palace_tpu.fem.nd_boundary import (
+    NDTraceBasis, boundary_mass_bucket, boundary_rhs, nd_trace_basis,
+)
+from palace_tpu.fem.nd_operators import nd_operator
+from palace_tpu.fem.operators import default_qorder
+from palace_tpu.fem.reference import Geom
+from palace_tpu.mesh.mesh import Mesh, canonicalize_simplices
+from palace_tpu.models.lumpedport import LumpedPort, build_lumped_ports
+from palace_tpu.models.materials import MaterialOperator
+from palace_tpu.ops.partial import BucketTables, PAOperator
+
+
+def _matsqrt(A: np.ndarray) -> np.ndarray:
+    """Principal square root of a symmetric positive(-semi)definite tensor."""
+    w, V = np.linalg.eigh(0.5 * (A + A.T))
+    return (V * np.sqrt(np.maximum(w, 0.0))) @ V.T
+
+
+class SpaceOperator:
+    """System operators for driven/transient/eigen solves."""
+
+    def __init__(self, iodata: IoData, mesh: Mesh):
+        canonicalize_simplices(mesh)
+        self.iodata = iodata
+        self.mesh = mesh
+        self.materials = MaterialOperator.build(iodata)
+        self.space = NDSpace(mesh, iodata.solver.order)
+        p = iodata.solver.order
+        self.bdr_qorder = default_qorder(
+            p, mesh.bdr_buckets[0].geo_order if mesh.bdr_buckets else 1, Geom.TRI
+        )
+        self.ports = build_lumped_ports(iodata, mesh, self.bdr_qorder)
+
+        # PEC essential dofs (reference: spaceoperator.hpp:56-57).
+        pec = list(iodata.boundaries.pec)
+        self.ess_dofs = self.space.boundary_dofs(pec) if pec else np.zeros(0, np.int64)
+        self.ess_mask = np.zeros(self.space.num_dofs, bool)
+        self.ess_mask[self.ess_dofs] = True
+
+        self._build_domain()
+        self._build_boundary()
+        self._port_trace_bases: Dict[int, List[NDTraceBasis]] = {
+            idx: [nd_trace_basis(self.space, tr) for tr in port.traces]
+            for idx, port in self.ports.items()
+        }
+
+    # -- assembly -----------------------------------------------------------
+
+    def _build_domain(self):
+        m = self.materials
+        self.K_dom = nd_operator(self.space, curl_coef=m.inv_permeability)
+        lossy = any(np.any(t != 0.0) for t in m.loss_tan.values())
+        eps = m.complex_permittivity() if lossy else {
+            a: t.astype(complex) for a, t in m.permittivity.items()
+        }
+        self.M_re = nd_operator(self.space,
+                                mass_coef={a: np.real(t) for a, t in eps.items()})
+        self.M_im = (
+            nd_operator(self.space,
+                        mass_coef={a: np.imag(t) for a, t in eps.items()})
+            if lossy else None
+        )
+        has_sigma = any(np.any(t != 0.0) for t in m.conductivity.values())
+        self.C_dom = (
+            nd_operator(self.space, mass_coef=m.conductivity) if has_sigma else None
+        )
+
+    def _build_boundary(self):
+        """Robin boundary buckets for K (1/Ls), C (1/Rs + absorbing invz0),
+        M (Cs) (reference: lumpedportoperator.cpp:552-615,
+        surfaceimpedanceoperator.cpp:191-240,
+        farfieldboundaryoperator.cpp:94-110)."""
+        iod, mesh = self.iodata, self.mesh
+        self.K_bdr: List[BucketTables] = []
+        self.C_bdr: List[BucketTables] = []
+        self.M_bdr: List[BucketTables] = []
+
+        def add(target, attrs, coef):
+            tr = boundary_trace(mesh, attrs, self.bdr_qorder)
+            tb = nd_trace_basis(self.space, tr)
+            if np.ndim(coef) == 0:
+                c = np.full(len(tr.elem), float(coef))
+            else:
+                c = coef
+            target.append(boundary_mass_bucket(tb, c))
+
+        for port in self.ports.values():
+            if not port.active:
+                continue
+            for elem in port.elems:
+                sq = port.to_square(elem)
+                if abs(port.R) > 0:
+                    add(self.C_bdr, elem.attrs, 1.0 / (port.R * sq))
+                if abs(port.L) > 0:
+                    add(self.K_bdr, elem.attrs, 1.0 / (port.L * sq))
+                if abs(port.C) > 0:
+                    add(self.M_bdr, elem.attrs, port.C / sq)
+
+        from palace_tpu.config import ValueType
+
+        units = self.iodata.units
+        for imp in iod.boundaries.impedances:
+            Rs = imp.Rs / units.scale_factor(ValueType.IMPEDANCE)
+            Ls = imp.Ls / units.scale_factor(ValueType.INDUCTANCE)
+            Cs = imp.Cs / units.scale_factor(ValueType.CAPACITANCE)
+            if abs(Rs) > 0:
+                add(self.C_bdr, imp.attributes, 1.0 / Rs)
+            if abs(Ls) > 0:
+                add(self.K_bdr, imp.attributes, 1.0 / Ls)
+            if abs(Cs) > 0:
+                add(self.M_bdr, imp.attributes, Cs)
+
+        ab = iod.boundaries.absorbing
+        if ab is not None and ab.attributes:
+            if ab.order > 1:
+                raise NotImplementedError("2nd-order absorbing BC not implemented")
+            tr = boundary_trace(mesh, ab.attributes, self.bdr_qorder)
+            tb = nd_trace_basis(self.space, tr)
+            # invz0 = sqrt(mu^-1 eps) of the adjacent material
+            # (reference: materialoperator.cpp:318-319).
+            invz = {
+                a: _matsqrt(self.materials.inv_permeability[a]
+                            @ self.materials.permittivity[a])
+                for a in self.materials.permittivity
+            }
+            attrs = np.empty(len(tr.elem), np.int32)
+            for bi, b in enumerate(mesh.buckets):
+                s = tr.bucket == bi
+                attrs[s] = b.attr[tr.elem[s]]
+            coef = self.materials.attr_tensor(invz, attrs)
+            self.C_bdr.append(boundary_mass_bucket(tb, coef))
+
+    # -- operators ----------------------------------------------------------
+
+    def _combine(self, dom: Optional[PAOperator], bdr: List[BucketTables]):
+        """List of (gidx, A) table pairs for dom + bdr contributions."""
+        out = []
+        if dom is not None:
+            for b in dom.buckets:
+                out.append((np.asarray(b.gidx), np.asarray(b.A)))
+        for b in bdr:
+            out.append((np.asarray(b.gidx), np.asarray(b.A)))
+        return out
+
+    def _csr(self, tables) -> sp.csr_matrix:
+        n = self.space.num_dofs
+        rows, cols, vals = [], [], []
+        for gidx, A in tables:
+            E, nd = gidx.shape
+            rows.append(np.repeat(gidx, nd, axis=1).ravel())
+            cols.append(np.tile(gidx, (1, nd)).ravel())
+            vals.append(A.reshape(E, -1).ravel())
+        if not rows:
+            return sp.csr_matrix((n, n))
+        return sp.coo_matrix(
+            (np.concatenate(vals),
+             (np.concatenate(rows), np.concatenate(cols))),
+            shape=(n, n),
+        ).tocsr()
+
+    def stiffness_csr(self) -> sp.csr_matrix:
+        return self._csr(self._combine(self.K_dom, self.K_bdr))
+
+    def damping_csr(self) -> Optional[sp.csr_matrix]:
+        t = self._combine(self.C_dom, self.C_bdr)
+        return self._csr(t) if t else None
+
+    def mass_csr(self) -> sp.csr_matrix:
+        M = self._csr(self._combine(self.M_re, self.M_bdr))
+        if self.M_im is not None:
+            M = (M + 1j * self._csr(self._combine(self.M_im, []))).tocsr()
+        return M
+
+    def system_csr(self, omega: float, K=None, C=None, M=None) -> sp.csr_matrix:
+        """A(omega) = K + i omega C - omega^2 M with PEC rows/cols set to
+        identity (DIAG_ONE policy, reference: rap.hpp:18-39)."""
+        K = self.stiffness_csr() if K is None else K
+        C = self.damping_csr() if C is None else C
+        M = self.mass_csr() if M is None else M
+        A = K.astype(complex) - (omega * omega) * M
+        if C is not None:
+            A = A + 1j * omega * C
+        free = sp.diags((~self.ess_mask).astype(float))
+        one = sp.diags(self.ess_mask.astype(float))
+        return (free @ A @ free + one).tocsr()
+
+    # -- excitation & measurement -------------------------------------------
+
+    def excitations(self) -> Dict[int, List[int]]:
+        """excitation index -> list of driven port indices (reference:
+        palace/models/portexcitations.cpp:95-123)."""
+        out: Dict[int, List[int]] = {}
+        for idx, port in self.ports.items():
+            if port.excitation:
+                out.setdefault(port.excitation, []).append(idx)
+        return dict(sorted(out.items()))
+
+    def rhs1(self, excitation_idx: int) -> np.ndarray:
+        """Real excitation vector -U_inc = 2 Hinc E_inc (reference:
+        lumpedportoperator.cpp:618-640); the i*omega factor is applied by
+        the driven sweep, g'(t) by the transient solver."""
+        out = np.zeros(self.space.num_dofs)
+        for idx, port in self.ports.items():
+            if port.excitation != excitation_idx:
+                continue
+            for elem, tb in zip(port.elems, self._port_trace_bases[idx]):
+                Rs = port.R * port.to_square(elem)
+                Hinc = 1.0 / math.sqrt(Rs * elem.w * elem.l * len(port.elems))
+                f = elem.mode_field(tb.tr.xq, 2.0 * Hinc)
+                out += boundary_rhs(tb, f, self.space.num_dofs)
+        out[self.ess_mask] = 0.0
+        return out
+
+    def port_functionals(self, idx: int) -> Tuple[np.ndarray, np.ndarray]:
+        """(s, v): S-parameter and voltage measurement vectors for port idx
+        (reference: lumpedportoperator.cpp:163-221)."""
+        port = self.ports[idx]
+        s = np.zeros(self.space.num_dofs)
+        v = np.zeros(self.space.num_dofs)
+        for elem, tb in zip(port.elems, self._port_trace_bases[idx]):
+            Rs = port.R * port.to_square(elem)
+            Hinc = (1.0 / math.sqrt(Rs * elem.w * elem.l * len(port.elems))
+                    if abs(Rs) > 0 else 0.0)
+            s += boundary_rhs(tb, elem.mode_field(tb.tr.xq, Hinc),
+                              self.space.num_dofs)
+            v += boundary_rhs(
+                tb, elem.mode_field(tb.tr.xq, 1.0 / (elem.w * len(port.elems))),
+                self.space.num_dofs,
+            )
+        return s, v
+
+    def port_power(self, idx: int, E: np.ndarray, omega: float) -> complex:
+        """P = ∫ (E x conj(H)) . n dS with H = mu^-1 B, B = -curl E / (i omega),
+        +n the direction of propagation into the domain (reference:
+        lumpedportoperator.cpp:224-283)."""
+        from palace_tpu.fem.evaluation import trace_nd
+
+        P = 0.0 + 0.0j
+        for tb in self._port_trace_bases[idx]:
+            tr = tb.tr
+            attrs = np.empty(len(tr.elem), np.int32)
+            for bi, b in enumerate(self.mesh.buckets):
+                ssel = tr.bucket == bi
+                attrs[ssel] = b.attr[tr.elem[ssel]]
+            muinv = self.materials.attr_tensor(self.materials.inv_permeability,
+                                               attrs)
+            Ev = trace_nd(self.space, E, tr, which="value")  # (n, nq, 3)
+            Bv = trace_nd(self.space, E, tr, which="curl") * (-1.0 / (1j * omega))
+            H = np.einsum("fst,fqt->fqs", muinv, Bv)
+            # Trace normals are outward from the domain; propagation is inward.
+            ExH = np.cross(Ev, np.conj(H))
+            P += np.einsum("fq,fqs,fqs->", tr.wdetJ, ExH, -tr.normal)
+        return complex(P)

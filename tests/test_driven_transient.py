@@ -1,0 +1,93 @@
+"""Driven & transient drivers on an analytic parallel-plate TEM line.
+
+A matched parallel-plate waveguide (PEC top/bottom plates, PMC sides,
+lumped ports with R = eta0 * l/w at both ends) transmits fully:
+|S21| = 1, arg(S21) = -k L, |S11| << 1 (reference example analog:
+coaxial matched, docs/src/examples/coaxial.md).
+"""
+
+import json
+import math
+import os
+
+import numpy as np
+import pytest
+
+from palace_tpu.mesh.generate import box_tet
+from palace_tpu.mesh import gmsh_write
+
+ETA0 = 376.730313412  # impedance of free space, Z0 * l/w with l == w
+
+L = 10.0  # mm, x extent = propagation direction
+
+
+def make_case(tmpdir, problem: dict, solver: dict) -> str:
+    mesh = box_tet(6, 6, 6, lx=L, ly=10.0, lz=10.0)
+    gmsh_write.write(mesh, os.path.join(tmpdir, "box.msh"))
+    cfg = {
+        "Problem": dict(Verbose=0, Output="postpro", **problem),
+        "Model": {"Mesh": "box.msh", "L0": 1.0e-3},
+        "Domains": {"Materials": [
+            {"Attributes": [1], "Permeability": 1.0, "Permittivity": 1.0}]},
+        "Boundaries": {
+            "PEC": {"Attributes": [5, 6]},
+            "LumpedPort": [
+                {"Index": 1, "Attributes": [1], "R": ETA0,
+                 "Direction": "+Z", "Excitation": True},
+                {"Index": 2, "Attributes": [2], "R": ETA0, "Direction": "+Z"},
+            ],
+        },
+        "Solver": dict(Order=2, Device="CPU", **solver),
+    }
+    path = os.path.join(tmpdir, "case.json")
+    json.dump(cfg, open(path, "w"))
+    return path
+
+
+def test_driven_tem_line(tmp_path):
+    from palace_tpu.api import run
+
+    f_ghz = 15.0
+    path = make_case(str(tmp_path), {"Type": "Driven"}, {
+        "Driven": {"Samples": [{"Type": "Point", "Freq": [f_ghz]}]},
+        "Linear": {"Tol": 1e-10, "MaxIts": 300},
+    })
+    res = run(path, output_dir=str(tmp_path / "out"))
+    meas = res["measurements"]
+    m = meas[(1, 0)]
+    S11 = m.ports[1].S
+    S21 = m.ports[2].S
+    assert abs(S21) == pytest.approx(1.0, abs=0.02)
+    assert abs(S11) < 0.05
+    # Phase: -k L with k = 2 pi f / c.
+    kL = 2 * math.pi * f_ghz * 1e9 / 299792458.0 * (L * 1e-3)
+    phase = -math.atan2(S21.imag, S21.real) % (2 * math.pi)
+    assert phase == pytest.approx(kL % (2 * math.pi), abs=0.05)
+    # Power balance: injected 1 W (incident) ~ |S11|^2 + |S21|^2.
+    assert abs(S11) ** 2 + abs(S21) ** 2 == pytest.approx(1.0, abs=0.03)
+
+
+def test_transient_tem_line(tmp_path):
+    from palace_tpu.api import run
+
+    path = make_case(str(tmp_path), {"Type": "Transient"}, {
+        "Transient": {"Type": "GeneralizedAlpha",
+                      "Excitation": "ModulatedGaussian",
+                      "ExcitationFreq": 30.0, "ExcitationWidth": 0.02,
+                      "MaxTime": 0.3, "TimeStep": 0.002},
+        "Linear": {"Tol": 1e-10, "MaxIts": 300},
+    })
+    res = run(path, output_dir=str(tmp_path / "out"))
+    rows = res["rows"]
+    t = np.array([r["t"] for r in rows])
+    Vinc = np.array([r["g"] for r in rows])
+    V1 = np.array([r["ports"][1]["V"] for r in rows])
+    V2 = np.array([r["ports"][2]["V"] for r in rows])
+    Etot = np.array([r["E_elec"] + r["E_mag"] for r in rows])
+    # Full transmission on the matched line: peak |V2| ~ peak V_inc-driven V1.
+    assert np.abs(V2).max() == pytest.approx(np.abs(V1).max(), rel=0.08)
+    # Transit delay ~ L/c (in nondim units c = 1, L = 1 after Lc scaling).
+    dt_peak = t[np.argmax(np.abs(V2))] - t[np.argmax(np.abs(V1))]
+    assert dt_peak == pytest.approx(1.0, abs=0.5)
+    # Energy exits through the matched ports.
+    assert Etot[-1] < 1e-4 * Etot.max()
