@@ -91,3 +91,27 @@ def test_transient_tem_line(tmp_path):
     assert dt_peak == pytest.approx(1.0, abs=0.5)
     # Energy exits through the matched ports.
     assert Etot[-1] < 1e-4 * Etot.max()
+
+
+def test_driven_adaptive_matches_uniform(tmp_path):
+    """Adaptive PROM sweep agrees with the uniform direct sweep
+    (reference regression analog: cpw lumped_uniform vs lumped_adaptive)."""
+    from palace_tpu.api import run
+
+    samples = {"Samples": [{"Type": "Linear", "MinFreq": 5.0, "MaxFreq": 30.0,
+                            "NSample": 11}]}
+    base = make_case(str(tmp_path), {"Type": "Driven"}, {
+        "Driven": dict(samples), "Linear": {"Tol": 1e-10, "MaxIts": 300}})
+    res_u = run(base, output_dir=str(tmp_path / "out_u"))
+
+    ad = make_case(str(tmp_path), {"Type": "Driven"}, {
+        "Driven": dict(samples, AdaptiveTol=1e-9),
+        "Linear": {"Tol": 1e-10, "MaxIts": 300}})
+    res_a = run(ad, output_dir=str(tmp_path / "out_a"))
+
+    for key in res_u["measurements"]:
+        mu, ma = res_u["measurements"][key], res_a["measurements"][key]
+        for idx in mu.ports:
+            assert ma.ports[idx].S == pytest.approx(mu.ports[idx].S, abs=2e-6)
+            assert ma.ports[idx].V == pytest.approx(mu.ports[idx].V, rel=2e-6,
+                                                    abs=1e-9)
