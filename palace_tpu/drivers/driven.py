@@ -277,14 +277,16 @@ def write_driven_tables(iodata: IoData, sop: SpaceOperator, post_dir: str,
     Efield = units.scale_factor(ValueType.FIELD_E)
     Bfield = units.scale_factor(ValueType.FIELD_B)
 
-    # port-S
+    # port-S: columns are S[observation][drive-port] (always two indices,
+    # reference: postoperatorcsv.cpp S-parameter table).
     t = Table()
     fc = t.add(freq_col())
     for ex in excitations:
-        sfx = f"[{ex}]" if multi else ""
+        drive = [j for j, p in sop.ports.items() if p.excitation == ex]
+        dsfx = f"[{drive[0]}]" if len(drive) == 1 else f"[{ex}]"
         for idx in sop.ports:
-            t.add(Column(f"smag{idx}{ex}", f"|S[{idx}]{sfx}| (dB)"))
-            t.add(Column(f"sarg{idx}{ex}", f"arg(S[{idx}]{sfx}) (deg.)"))
+            t.add(Column(f"smag{idx}{ex}", f"|S[{idx}]{dsfx}| (dB)"))
+            t.add(Column(f"sarg{idx}{ex}", f"arg(S[{idx}]{dsfx}) (deg.)"))
     for i, f in enumerate(freqs_ghz):
         fc.data.append(f)
         for ex in excitations:

@@ -72,8 +72,10 @@ def solve(iodata: IoData, output_dir: str | None = None):
     f_t = units.nondimensionalize(ValueType.FREQUENCY, cfg.target)
     sigma = (2 * np.pi * f_t) ** 2
     nev = max(cfg.n, 1)
+    # Request extra vectors: the gradient-nullspace cluster at lambda = 0 is
+    # filtered below, so over-allocate to still deliver n physical modes.
     result = shift_invert_eigs(
-        Kcsr, Mcsr, ess, sigma, nev + 5, tol=cfg.tol
+        Kcsr, Mcsr, ess, sigma, 2 * nev + 8, tol=cfg.tol
     )
 
     # omega = sqrt(lambda), ascending; drop the gradient-nullspace zero

@@ -258,8 +258,12 @@ def _port_power_transient(sop: SpaceOperator, idx: int, E, aB) -> float:
         muinv = sop.materials.attr_tensor(sop.materials.inv_permeability, attrs)
         Ev = trace_nd(sop.space, E, tr, which="value")
         Bv = -trace_nd(sop.space, aB, tr, which="curl")
-        H = np.einsum("fst,fqt->fqs", muinv, Bv)
-        ExH = np.cross(Ev, H)
+        if sop.mesh.nodes.shape[1] == 2:
+            H = muinv[:, 2, 2][:, None] * Bv[..., 0]
+            ExH = np.stack([Ev[..., 1] * H, -Ev[..., 0] * H], axis=-1)
+        else:
+            H = np.einsum("fst,fqt->fqs", muinv, Bv)
+            ExH = np.cross(Ev, H)
         P += float(np.einsum("fq,fqs,fqs->", tr.wdetJ, ExH, -tr.normal))
     return P
 

@@ -176,11 +176,21 @@ def boundary_trace(
     adjacent volume element (out of the computational domain).
     """
     attrs = [int(a) for a in attrs]
-    uniq_faces, bucket_face_ids, counts = mesh.face_table()
-
-    # face key -> (volume bucket, elem) for boundary faces (count == 1)
     from palace_tpu.mesh.mesh import _lookup_rows
 
+    is_2d = mesh.nodes.shape[1] == 2
+    if is_2d:
+        # 2D: facets are mesh edges.
+        uniq_edges, bucket_edge_ids = mesh.edge_table()
+        uniq_faces = np.concatenate(
+            [np.full((len(uniq_edges), 2), -1, np.int64), uniq_edges], axis=1
+        )
+        bucket_face_ids = bucket_edge_ids
+    else:
+        uniq_faces, bucket_face_ids, counts = mesh.face_table()
+
+    # facet key -> (volume bucket, elem); first owner wins (the tangential
+    # trace is single-valued for interior sheets).
     owners = {}
     for bi, (b, fids) in enumerate(zip(mesh.buckets, bucket_face_ids)):
         for local in range(fids.shape[1]):
@@ -272,6 +282,11 @@ def trace_nd(space, u: np.ndarray, tr: BoundaryTrace, which: str = "value"
             Jinv = smallmat.inv(J)
             vref = np.einsum("eqnr,en->eqr", V, ue)
             out[sel] = np.einsum("eqrs,eqr->eqs", Jinv, vref)
+        elif C.shape[-1] == 1:
+            # 2D scalar curl: curl u = curl_ref u_ref / detJ.
+            detJ = smallmat.det(J)
+            cref = np.einsum("eqn,en->eq", C[..., 0], ue)
+            out[sel, :, 0] = cref / detJ
         else:
             detJ = smallmat.det(J)
             cref = np.einsum("eqnr,en->eqr", C, ue)

@@ -39,6 +39,16 @@ def classify_lattice(geom: Geom, p: int) -> List[LatticeDof]:
     mi = ref.lattice_multi_index(geom, p)
     out: List[LatticeDof] = []
 
+    if geom is Geom.LINE:
+        for (i,) in mi:
+            if i == 0:
+                out.append(LatticeDof(dofmap.KIND_VERTEX, (0,), ()))
+            elif i == p:
+                out.append(LatticeDof(dofmap.KIND_VERTEX, (1,), ()))
+            else:
+                out.append(LatticeDof(dofmap.KIND_EDGE, (0, 1), (i,)))
+        return out
+
     if geom is Geom.TRI:
         for (i, j) in mi:
             b = (p - i - j, i, j)

@@ -238,7 +238,7 @@ class NDSpace:
         p = self.order
         found = []
         for b in self.mesh.bdr_buckets:
-            if b.geom is not Geom.TRI:
+            if b.geom not in (Geom.TRI, Geom.LINE):
                 continue
             sel = np.isin(b.attr, list(attrs))
             if not sel.any():
@@ -246,16 +246,24 @@ class NDSpace:
             corners = b.corners[sel].astype(np.int64)
             E = corners.shape[0]
             keys = []
-            for (a, bb) in ref.GEOM_EDGES[Geom.TRI]:
+            if b.geom is Geom.LINE:
+                # 2D mesh: the facet is a single edge with p dofs.
                 for v in range(p):
                     keys.append(dofmap.edge_keys(
-                        corners[:, a], corners[:, bb],
+                        np.minimum(corners[:, 0], corners[:, 1]),
+                        np.maximum(corners[:, 0], corners[:, 1]),
                         np.zeros(E, np.int64), 1, variant=v))
-            if p >= 2:
-                nface = {2: 2, 3: 6}[p]
-                for v in range(nface):
-                    keys.append(dofmap.tri_keys(
-                        corners, np.zeros((E, 3), np.int64), variant=v))
+            else:
+                for (a, bb) in ref.GEOM_EDGES[Geom.TRI]:
+                    for v in range(p):
+                        keys.append(dofmap.edge_keys(
+                            corners[:, a], corners[:, bb],
+                            np.zeros(E, np.int64), 1, variant=v))
+                if p >= 2:
+                    nface = {2: 2, 3: 6}[p]
+                    for v in range(nface):
+                        keys.append(dofmap.tri_keys(
+                            corners, np.zeros((E, 3), np.int64), variant=v))
             k = np.concatenate(keys)
             ids = dofmap.lookup_keys(self.unique_keys, k)
             found.append(ids[ids >= 0])

@@ -19,17 +19,19 @@ from palace_tpu.ops.partial import BucketTables, PAOperator
 
 
 def default_qorder(p: int, geo_order: int, geom, extra: int = 0) -> int:
-    """Quadrature order exact for 2 p + order(J) + extra (reference:
-    palace/fem/integrator.hpp:25-34; order(J) follows MFEM's
-    IsoparametricTransformation::OrderJ(): g-1 on simplices, g on
-    tensor-product elements)."""
-    from palace_tpu.fem.reference import Geom
+    """Quadrature order exact for 2 p + order(|J|) + extra (reference:
+    palace/fem/integrator.hpp:20-34, integrator.cpp DefaultIntegrationOrder:
+    order(|J|) follows MFEM's IsoparametricTransformation::OrderW():
+    dim (g - 1) on simplices, dim g - 1 on tensor-product elements)."""
+    from palace_tpu.fem.reference import GEOM_DIM, Geom
 
-    if geom in (Geom.TRI, Geom.TET):
-        oj = max(geo_order - 1, 0)
+    g = geo_order
+    dim = GEOM_DIM[geom]
+    if geom in (Geom.LINE, Geom.TRI, Geom.TET):
+        ow = dim * max(g - 1, 0)
     else:
-        oj = geo_order
-    return 2 * p + oj + extra
+        ow = dim * g - 1
+    return 2 * p + ow + extra
 
 
 def h1_operator(

@@ -276,4 +276,10 @@ def load_mesh(path: str) -> Mesh:
             buckets.append(b)
         elif d == max_dim - 1:
             bdr.append(b)
-    return Mesh(raw.nodes, buckets, bdr, raw.physical_names)
+    nodes = raw.nodes
+    if max_dim == 2 and np.ptp(nodes[:, 2]) < 1e-12 * max(np.ptp(nodes[:, 0]),
+                                                          np.ptp(nodes[:, 1])):
+        # Planar 2D mesh: drop the constant z coordinate (the reference
+        # stores true 2D meshes with SpaceDimension 2, geodata.cpp mesh load).
+        nodes = np.ascontiguousarray(nodes[:, :2])
+    return Mesh(nodes, buckets, bdr, raw.physical_names)

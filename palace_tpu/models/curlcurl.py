@@ -38,10 +38,14 @@ def uniform_element_geometry(mesh: Mesh, attrs, direction: np.ndarray):
         gf = geom_mod.compute(mesh.nodes, b, 2)
         area += float(gf.wdetJ[sel].sum())
     allp = np.concatenate(pts)
-    d = np.asarray(direction, float)
+    sdim = mesh.nodes.shape[1]
+    d = np.asarray(direction, float)[:sdim]
     d = d / np.linalg.norm(d)
     proj = allp @ d
     length = float(proj.max() - proj.min())
+    if sdim == 2:
+        # 2D: unit out-of-plane depth (reference: lumpedelement.cpp:123-128).
+        return length, 1.0
     return length, area / length
 
 

@@ -55,9 +55,16 @@ class UniformElement:
 
     @staticmethod
     def build(mesh: Mesh, attrs, direction) -> "UniformElement":
-        d = np.asarray(direction, float)
+        sdim = mesh.nodes.shape[1]
+        d = np.asarray(direction, float)[:sdim]
         d = d / np.linalg.norm(d)
         pts = _port_nodes(mesh, attrs)
+        if sdim == 2:
+            # 2D: length along the direction, unit out-of-plane depth
+            # (reference: lumpedelement.cpp:100-128).
+            proj = pts @ d
+            return UniformElement(list(attrs), d,
+                                  float(proj.max() - proj.min()), 1.0)
         c = pts.mean(axis=0)
         X = pts - c
         # Oriented bounding box via principal axes of the node cloud.

@@ -71,7 +71,8 @@ class MaterialOperator:
         if missing:
             raise ValueError(f"no material defined for attribute(s) {missing}")
         amax = int(uniq.max())
-        lut = np.zeros((amax + 1, 3, 3), table[int(uniq[0])].dtype)
+        shape = table[int(uniq[0])].shape
+        lut = np.zeros((amax + 1,) + shape, table[int(uniq[0])].dtype)
         for a in uniq:
             lut[int(a)] = table[int(a)]
         return lut[attrs]

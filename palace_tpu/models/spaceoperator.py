@@ -143,9 +143,10 @@ class SpaceOperator:
             tb = nd_trace_basis(self.space, tr)
             # invz0 = sqrt(mu^-1 eps) of the adjacent material
             # (reference: materialoperator.cpp:318-319).
+            sdim = mesh.nodes.shape[1]
             invz = {
                 a: _matsqrt(self.materials.inv_permeability[a]
-                            @ self.materials.permittivity[a])
+                            @ self.materials.permittivity[a])[:sdim, :sdim]
                 for a in self.materials.permittivity
             }
             attrs = np.empty(len(tr.elem), np.int32)
@@ -269,10 +270,16 @@ class SpaceOperator:
                 attrs[ssel] = b.attr[tr.elem[ssel]]
             muinv = self.materials.attr_tensor(self.materials.inv_permeability,
                                                attrs)
-            Ev = trace_nd(self.space, E, tr, which="value")  # (n, nq, 3)
+            Ev = trace_nd(self.space, E, tr, which="value")  # (n, nq, sdim)
             Bv = trace_nd(self.space, E, tr, which="curl") * (-1.0 / (1j * omega))
-            H = np.einsum("fst,fqt->fqs", muinv, Bv)
+            if self.mesh.nodes.shape[1] == 2:
+                # 2D: H = (mu^-1)_zz B_z out of plane; (E x H z) = (Ey H, -Ex H).
+                H = muinv[:, 2, 2][:, None] * Bv[..., 0]
+                ExH = np.stack([Ev[..., 1] * np.conj(H),
+                                -Ev[..., 0] * np.conj(H)], axis=-1)
+            else:
+                H = np.einsum("fst,fqt->fqs", muinv, Bv)
+                ExH = np.cross(Ev, np.conj(H))
             # Trace normals are outward from the domain; propagation is inward.
-            ExH = np.cross(Ev, np.conj(H))
             P += np.einsum("fq,fqs,fqs->", tr.wdetJ, ExH, -tr.normal)
         return complex(P)
