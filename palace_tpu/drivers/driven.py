@@ -88,6 +88,8 @@ class StepMeasurement:
     domain_M: Dict[int, float] = field(default_factory=dict)
     probe_E: Optional[np.ndarray] = None  # (nprobe, 3) complex
     probe_B: Optional[np.ndarray] = None
+    surf_flux: Dict[int, complex] = field(default_factory=dict)
+    surf_q: Dict[int, Tuple[float, float]] = field(default_factory=dict)  # (p, Q)
 
 
 def measure_step(sop: SpaceOperator, E: np.ndarray, omega: float,
@@ -216,10 +218,12 @@ def solve(iodata: IoData, output_dir: str | None = None):
             port_fn_cache[idx] = sop.port_functionals(idx)
         return port_fn_cache[idx]
 
+    surf_traces = build_surface_traces(iodata, sop)
     measurements: Dict[Tuple[int, int], StepMeasurement] = {}
     for (ex, i), E in sols.items():
-        measurements[(ex, i)] = measure_step(sop, E, omegas[i], ex, port_fn,
-                                             probe_locs)
+        m = measure_step(sop, E, omegas[i], ex, port_fn, probe_locs)
+        measure_surfaces(iodata, sop, m, E, omegas[i], surf_traces)
+        measurements[(ex, i)] = m
 
     write_driven_tables(iodata, sop, post_dir, freqs_ghz, excitations,
                         measurements)
@@ -252,6 +256,58 @@ def sweep_uniform(iodata, sop: SpaceOperator, omegas, excitations
         print_log(iodata, f"  freq {i + 1}/{len(omegas)} solved "
                           f"({A.shape[0]} dofs x {len(excitations)} excitations)")
     return sols
+
+
+def build_surface_traces(iodata: IoData, sop: SpaceOperator):
+    """Boundary traces for SurfaceFlux and Dielectric postprocessing."""
+    from palace_tpu.fem.evaluation import boundary_trace
+
+    out = {"flux": {}, "eps": {}}
+    for f in iodata.boundaries.surface_fluxes:
+        center = None
+        if not f.two_sided:
+            center = (nondim_point(iodata, f.center) if f.center is not None
+                      else _bbox_center(sop.mesh, f.attributes))
+        out["flux"][f.index] = boundary_trace(
+            sop.mesh, f.attributes, sop.bdr_qorder, center=center,
+            both_sides=True)
+    for d in iodata.boundaries.dielectrics:
+        out["eps"][d.index] = boundary_trace(
+            sop.mesh, d.attributes, sop.bdr_qorder, both_sides=True)
+    return out
+
+
+def _bbox_center(mesh, attrs):
+    pts = []
+    for b in mesh.bdr_buckets:
+        sel = np.isin(b.attr, list(attrs))
+        if sel.any():
+            pts.append(mesh.nodes[np.unique(b.conn[sel].ravel())])
+    allp = np.concatenate(pts)
+    return 0.5 * (allp.min(axis=0) + allp.max(axis=0))
+
+
+def measure_surfaces(iodata: IoData, sop: SpaceOperator, m: StepMeasurement,
+                     E: np.ndarray, omega: float, traces, aB=None):
+    """Surface flux + interface dielectric measurements (reference:
+    postoperator.cpp MeasureSurfaceFlux/MeasureInterfaceEFieldEnergy)."""
+    from palace_tpu.post.surfaces import interface_energy, surface_flux
+
+    for f in iodata.boundaries.surface_fluxes:
+        m.surf_flux[f.index] = surface_flux(
+            sop, f, traces["flux"][f.index], E, omega=omega, aB=aB)
+    denom = m.E_elec + m.E_cap
+    for d in iodata.boundaries.dielectrics:
+        class _D:
+            type = d.type
+            thickness = d.thickness / iodata.units.mesh_length_scale
+            permittivity = d.permittivity
+
+        en = interface_energy(sop, _D, traces["eps"][d.index], E)
+        p = en / denom if denom > 0 else 0.0
+        Q = (np.inf if (p == 0.0 or d.loss_tan == 0.0)
+             else 1.0 / (d.loss_tan * p))
+        m.surf_q[d.index] = (p, Q)
 
 
 # ---------------------------------------------------------------------------
@@ -363,6 +419,58 @@ def write_driven_tables(iodata: IoData, sop: SpaceOperator, post_dir: str,
                 t.col(f"pm{ecfg.index}_{ex}").data.append(
                     Em / mm.E_mag if mm.E_mag > 0 else 0.0)
     t.write(os.path.join(post_dir, "domain-E.csv"))
+
+    # surface-F
+    if iodata.boundaries.surface_fluxes:
+        Qc = units.scale_factor(ValueType.CAPACITANCE) * units.scale_factor(
+            ValueType.VOLTAGE)
+        Wb = units.scale_factor(ValueType.INDUCTANCE) * units.scale_factor(
+            ValueType.CURRENT)
+        W = units.scale_factor(ValueType.POWER)
+        t = Table()
+        fc = t.add(freq_col())
+        for ex in excitations:
+            sfx = f"[{ex}]" if multi else ""
+            for fcfg in iodata.boundaries.surface_fluxes:
+                i = fcfg.index
+                if fcfg.type == "Electric":
+                    t.add(Column(f"fr{i}_{ex}", f"Re{{Φ_elec[{i}]{sfx}}} (C)"))
+                    t.add(Column(f"fi{i}_{ex}", f"Im{{Φ_elec[{i}]{sfx}}} (C)"))
+                elif fcfg.type == "Magnetic":
+                    t.add(Column(f"fr{i}_{ex}", f"Re{{Φ_mag[{i}]{sfx}}} (Wb)"))
+                    t.add(Column(f"fi{i}_{ex}", f"Im{{Φ_mag[{i}]{sfx}}} (Wb)"))
+                else:
+                    t.add(Column(f"fr{i}_{ex}", f"Φ_pow[{i}]{sfx} (W)"))
+        for i, f in enumerate(freqs_ghz):
+            fc.data.append(f)
+            for ex in excitations:
+                mm = meas[(ex, i)]
+                for fcfg in iodata.boundaries.surface_fluxes:
+                    v = mm.surf_flux[fcfg.index]
+                    scale = {"Electric": Qc, "Magnetic": Wb, "Power": W}[fcfg.type]
+                    t.col(f"fr{fcfg.index}_{ex}").data.append(v.real * scale)
+                    if fcfg.type != "Power":
+                        t.col(f"fi{fcfg.index}_{ex}").data.append(v.imag * scale)
+        t.write(os.path.join(post_dir, "surface-F.csv"))
+
+    # surface-Q
+    if iodata.boundaries.dielectrics:
+        t = Table()
+        fc = t.add(freq_col())
+        for ex in excitations:
+            sfx = f"[{ex}]" if multi else ""
+            for d in iodata.boundaries.dielectrics:
+                t.add(Column(f"p{d.index}_{ex}", f"p_surf[{d.index}]{sfx}"))
+                t.add(Column(f"q{d.index}_{ex}", f"Q_surf[{d.index}]{sfx}"))
+        for i, f in enumerate(freqs_ghz):
+            fc.data.append(f)
+            for ex in excitations:
+                mm = meas[(ex, i)]
+                for d in iodata.boundaries.dielectrics:
+                    p, Q = mm.surf_q[d.index]
+                    t.col(f"p{d.index}_{ex}").data.append(p)
+                    t.col(f"q{d.index}_{ex}").data.append(Q)
+        t.write(os.path.join(post_dir, "surface-Q.csv"))
 
     # probe-E / probe-B
     if iodata.domains.probes:

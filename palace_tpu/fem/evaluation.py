@@ -162,6 +162,20 @@ class BoundaryTrace:
     normal: np.ndarray  # (n, nq, sdim) oriented unit normals
     xq: np.ndarray  # (n, nq, sdim) physical points
     attr: np.ndarray  # (n,) boundary attribute
+    # Second side of interior facets (element -1 where the facet is a true
+    # boundary); filled when boundary_trace(..., both_sides=True).
+    bucket2: Optional[np.ndarray] = None
+    elem2: Optional[np.ndarray] = None
+    xi2: Optional[np.ndarray] = None
+
+    def side2(self) -> "BoundaryTrace":
+        """View of the second side as a trace (facets with elem2 >= 0)."""
+        sel = self.elem2 >= 0
+        return BoundaryTrace(
+            bucket=self.bucket2[sel], elem=self.elem2[sel], xi=self.xi2[sel],
+            wdetJ=self.wdetJ[sel], normal=self.normal[sel], xq=self.xq[sel],
+            attr=self.attr[sel],
+        )
 
 
 def boundary_trace(
@@ -169,11 +183,14 @@ def boundary_trace(
     attrs,
     qorder: int,
     center: Optional[np.ndarray] = None,
+    both_sides: bool = False,
 ) -> BoundaryTrace:
     """Build trace data for boundary elements with the given attributes.
 
     Normals are oriented away from `center` if given, else outward from the
-    adjacent volume element (out of the computational domain).
+    first adjacent volume element.  With both_sides=True, interior facets
+    also record their second adjacent element (for jump/average evaluation,
+    reference: palace/fem/coefficient.hpp BdrGridFunctionCoefficient).
     """
     attrs = [int(a) for a in attrs]
     from palace_tpu.mesh.mesh import _lookup_rows
@@ -189,16 +206,16 @@ def boundary_trace(
     else:
         uniq_faces, bucket_face_ids, counts = mesh.face_table()
 
-    # facet key -> (volume bucket, elem); first owner wins (the tangential
-    # trace is single-valued for interior sheets).
-    owners = {}
+    # facet key -> [(volume bucket, elem), ...] (two entries for interior
+    # sheets; the tangential trace is single-valued, normal components jump).
+    owners: dict = {}
     for bi, (b, fids) in enumerate(zip(mesh.buckets, bucket_face_ids)):
         for local in range(fids.shape[1]):
             for ei, fid in enumerate(fids[:, local]):
-                if int(fid) not in owners:
-                    owners[int(fid)] = (bi, int(ei))
+                owners.setdefault(int(fid), []).append((bi, int(ei)))
 
-    rows = {"bucket": [], "elem": [], "xi": [], "w": [], "n": [], "x": [], "attr": []}
+    rows = {"bucket": [], "elem": [], "xi": [], "w": [], "n": [], "x": [],
+            "attr": [], "bucket2": [], "elem2": [], "xi2": []}
     for bb in mesh.bdr_buckets:
         sel = np.isin(bb.attr, attrs)
         if not sel.any():
@@ -209,15 +226,10 @@ def boundary_trace(
         keys = np.full((len(idx), 4), -1, np.int64)
         keys[:, 4 - nv:] = np.sort(bb.corners[idx].astype(np.int64), axis=-1)
         fids = _lookup_rows(uniq_faces, keys)
-        for row, ei_b in enumerate(idx):
-            fid = int(fids[row])
-            if fid < 0 or fid not in owners:
-                raise RuntimeError("boundary element has no adjacent volume element")
-            vbi, vei = owners[fid]
+        def invert(vbi, vei, xq):
             vb = mesh.buckets[vbi]
             vbasis = ref.gmsh_geometry_basis(vb.etype)
             X = mesh.nodes[vb.conn[vei]]
-            xq = gf.xq[ei_b]  # (nq, sdim)
             xi0 = ref.GEOM_VERTICES[vb.geom].mean(axis=0)
             xis = np.empty((xq.shape[0], ref.GEOM_DIM[vb.geom]))
             for q in range(xq.shape[0]):
@@ -225,15 +237,30 @@ def boundary_trace(
                 if res > 1e-8:
                     raise RuntimeError("surface point inversion failed")
                 xis[q] = xi
-            # Orient normal.
+            return xis
+
+        for row, ei_b in enumerate(idx):
+            fid = int(fids[row])
+            own = owners.get(fid, [])
+            if fid < 0 or not own:
+                raise RuntimeError("boundary element has no adjacent volume element")
+            vbi, vei = own[0]
+            vb = mesh.buckets[vbi]
+            xq = gf.xq[ei_b]  # (nq, sdim)
+            xis = invert(vbi, vei, xq)
+            # Orient normal: baseline = outward from the owning element.
             n = gf.normal[ei_b].copy()  # (nq, sdim)
+            cent = mesh.nodes[vb.corners[vei]].mean(axis=0)
+            sgn = np.sign(np.einsum("qs,qs->q", n, xq - cent[None, :]))
+            n *= np.where(sgn == 0, 1.0, sgn)[:, None]
             if center is not None:
-                sgn = np.sign(np.einsum("qs,qs->q", n, xq - center[None, :]))
-                n *= np.where(sgn == 0, 1.0, sgn)[:, None]
-            else:
-                cent = mesh.nodes[vb.corners[vei]].mean(axis=0)
-                sgn = np.sign(np.einsum("qs,qs->q", n, xq - cent[None, :]))
-                n *= np.where(sgn == 0, 1.0, sgn)[:, None]
+                # Flip to point away from `center`; when the center lies in
+                # the surface plane (cosine ~ 0, e.g. planar flux surfaces)
+                # keep the baseline outward orientation.
+                d = xq - center[None, :]
+                dn = np.linalg.norm(d, axis=-1)
+                cos = np.einsum("qs,qs->q", n, d) / np.where(dn > 0, dn, 1.0)
+                n *= np.where(cos < -1e-8, -1.0, 1.0)[:, None]
             rows["bucket"].append(vbi)
             rows["elem"].append(vei)
             rows["xi"].append(xis)
@@ -241,6 +268,15 @@ def boundary_trace(
             rows["n"].append(n)
             rows["x"].append(xq)
             rows["attr"].append(bb.attr[ei_b])
+            if both_sides and len(own) > 1:
+                vbi2, vei2 = own[1]
+                rows["bucket2"].append(vbi2)
+                rows["elem2"].append(vei2)
+                rows["xi2"].append(invert(vbi2, vei2, xq))
+            else:
+                rows["bucket2"].append(-1)
+                rows["elem2"].append(-1)
+                rows["xi2"].append(np.zeros_like(rows["xi"][-1]))
 
     return BoundaryTrace(
         bucket=np.array(rows["bucket"], np.int32),
@@ -250,6 +286,9 @@ def boundary_trace(
         normal=np.array(rows["n"]),
         xq=np.array(rows["x"]),
         attr=np.array(rows["attr"], np.int32),
+        bucket2=np.array(rows["bucket2"], np.int32),
+        elem2=np.array(rows["elem2"], np.int32),
+        xi2=np.array(rows["xi2"]),
     )
 
 

@@ -115,3 +115,28 @@ def test_driven_adaptive_matches_uniform(tmp_path):
             assert ma.ports[idx].S == pytest.approx(mu.ports[idx].S, abs=2e-6)
             assert ma.ports[idx].V == pytest.approx(mu.ports[idx].V, rel=2e-6,
                                                     abs=1e-9)
+
+
+def test_surface_postprocessing(tmp_path):
+    """Power flux through the output port plane ~ transmitted power ~ 1 W
+    (unit-incident-power normalization); interface dielectric Q = 1/(p tan d)."""
+    from palace_tpu.api import run
+
+    path = make_case(str(tmp_path), {"Type": "Driven"}, {
+        "Driven": {"Samples": [{"Type": "Point", "Freq": [15.0]}]},
+        "Linear": {"Tol": 1e-10, "MaxIts": 300}})
+    cfg = json.load(open(path))
+    cfg["Boundaries"]["Postprocessing"] = {
+        "SurfaceFlux": [{"Index": 1, "Attributes": [2], "Type": "Power"}],
+        "Dielectric": [{"Index": 1, "Attributes": [2], "Type": "Default",
+                        "Thickness": 0.01, "Permittivity": 10.0,
+                        "LossTan": 0.01}],
+    }
+    json.dump(cfg, open(path, "w"))
+    res = run(path, output_dir=str(tmp_path / "out"))
+    m = res["measurements"][(1, 0)]
+    assert m.surf_flux[1].real == pytest.approx(1.0, abs=0.05)
+    p, Q = m.surf_q[1]
+    assert Q == pytest.approx(1.0 / (0.01 * p), rel=1e-9)
+    assert (tmp_path / "out" / "surface-F.csv").exists()
+    assert (tmp_path / "out" / "surface-Q.csv").exists()
