@@ -41,6 +41,8 @@ def run(config_path: str, output_dir: str | None = None, dry_run: bool = False):
     configure_platform(iodata.solver.device)
 
     from palace_tpu.drivers import get_driver
+    from palace_tpu.utils import timers
 
+    timers.reset()
     driver = get_driver(iodata.problem.type)
     return driver(iodata, output_dir=output_dir)

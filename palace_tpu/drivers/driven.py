@@ -175,12 +175,17 @@ def _masked_energy(sop: SpaceOperator, op, x, attrs) -> float:
 
 
 def solve(iodata: IoData, output_dir: str | None = None):
+    from palace_tpu.post import metadata
+    from palace_tpu.utils import timers
+
     t0 = time.time()
-    mesh = prepare_mesh(iodata)
+    with timers.block("Mesh preprocessing"):
+        mesh = prepare_mesh(iodata)
     post_dir = make_output_dir(iodata, output_dir)
     units = iodata.units
 
-    sop = SpaceOperator(iodata, mesh)
+    with timers.block("Operator construction"):
+        sop = SpaceOperator(iodata, mesh)
     print_log(iodata, f"driven: {sop.space.num_dofs} dofs, "
                       f"{mesh.num_elements} elements, "
                       f"{len(sop.ports)} lumped ports")
@@ -197,37 +202,44 @@ def solve(iodata: IoData, output_dir: str | None = None):
     if iodata.solver.driven.adaptive_tol > 0.0:
         from palace_tpu.drivers.driven_adaptive import sweep_adaptive
 
-        sols = sweep_adaptive(iodata, sop, omegas, excitations)
+        with timers.block("PROM construction"):
+            sols = sweep_adaptive(iodata, sop, omegas, excitations)
     else:
-        sols = sweep_uniform(iodata, sop, omegas, excitations)
+        with timers.block("Linear solve"):
+            sols = sweep_uniform(iodata, sop, omegas, excitations)
 
-    # Measurements.
-    probe_locs = None
-    if iodata.domains.probes:
-        from palace_tpu.fem import evaluation
+    with timers.block("Postprocessing"):
+        probe_locs = None
+        if iodata.domains.probes:
+            from palace_tpu.fem import evaluation
 
-        locator = evaluation.PointLocator(mesh)
-        pts = np.array([nondim_point(iodata, p.center)
-                        for p in iodata.domains.probes])
-        probe_locs = locator.locate(pts)
+            locator = evaluation.PointLocator(mesh)
+            pts = np.array([nondim_point(iodata, p.center)
+                            for p in iodata.domains.probes])
+            probe_locs = locator.locate(pts)
 
-    port_fn_cache: Dict[int, Tuple[np.ndarray, np.ndarray]] = {}
+        port_fn_cache: Dict[int, Tuple[np.ndarray, np.ndarray]] = {}
 
-    def port_fn(idx):
-        if idx not in port_fn_cache:
-            port_fn_cache[idx] = sop.port_functionals(idx)
-        return port_fn_cache[idx]
+        def port_fn(idx):
+            if idx not in port_fn_cache:
+                port_fn_cache[idx] = sop.port_functionals(idx)
+            return port_fn_cache[idx]
 
-    surf_traces = build_surface_traces(iodata, sop)
-    measurements: Dict[Tuple[int, int], StepMeasurement] = {}
-    for (ex, i), E in sols.items():
-        m = measure_step(sop, E, omegas[i], ex, port_fn, probe_locs)
-        measure_surfaces(iodata, sop, m, E, omegas[i], surf_traces)
-        measurements[(ex, i)] = m
+        surf_traces = build_surface_traces(iodata, sop)
+        measurements: Dict[Tuple[int, int], StepMeasurement] = {}
+        for (ex, i), E in sols.items():
+            m = measure_step(sop, E, omegas[i], ex, port_fn, probe_locs)
+            measure_surfaces(iodata, sop, m, E, omegas[i], surf_traces)
+            measurements[(ex, i)] = m
 
-    write_driven_tables(iodata, sop, post_dir, freqs_ghz, excitations,
-                        measurements)
-    write_error_indicators(post_dir, [np.zeros(mesh.num_elements)])
+        write_driven_tables(iodata, sop, post_dir, freqs_ghz, excitations,
+                            measurements)
+        write_error_indicators(post_dir, [np.zeros(mesh.num_elements)])
+    metadata.save_problem(post_dir, "Driven", mesh.num_elements,
+                          sop.space.num_dofs)
+    metadata.save_excitations(post_dir, excitations)
+    metadata.save_solver(post_dir, len(sols), 0)
+    metadata.save_timing(post_dir)
     print_log(iodata, f"driven done in {time.time() - t0:.1f}s")
     return dict(post_dir=post_dir, num_dofs=sop.space.num_dofs,
                 freqs_ghz=freqs_ghz, measurements=measurements)

@@ -154,6 +154,10 @@ def solve(iodata: IoData, output_dir: str | None = None):
     write_error_indicators(post_dir, [np.zeros(mesh.num_elements)])
     print_log(iodata, f"eigenmode done in {time.time() - t0:.1f}s; "
                       f"f[0] = {f[0].real:.6f} GHz")
+    from palace_tpu.post import metadata as _metadata
+    _metadata.save_problem(post_dir, "Eigenmode", mesh.num_elements,
+                           space.num_dofs)
+    _metadata.save_timing(post_dir)
     return dict(frequencies_ghz=f, post_dir=post_dir, num_dofs=space.num_dofs,
                 modes=np.stack(modes, axis=1) if modes else None)
 

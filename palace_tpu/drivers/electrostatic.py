@@ -106,5 +106,9 @@ def solve(iodata: IoData, output_dir: str | None = None):
     write_error_indicators(post_dir, indicators, energies)
 
     print_log(iodata, f"electrostatic done in {time.time() - t0:.1f}s")
+    from palace_tpu.post import metadata as _metadata
+    _metadata.save_problem(post_dir, "Electrostatic", mesh.num_elements,
+                           space.num_dofs)
+    _metadata.save_timing(post_dir)
     return dict(C=C * farads, Cm=Cm * farads, Cinv=Cinv / farads,
                 iterations=its, num_dofs=space.num_dofs, post_dir=post_dir)

@@ -96,6 +96,10 @@ def solve(iodata: IoData, output_dir: str | None = None):
     write_error_indicators(post_dir, [np.zeros(mesh.num_elements)])
 
     print_log(iodata, f"magnetostatic done in {time.time() - t0:.1f}s")
+    from palace_tpu.post import metadata as _metadata
+    _metadata.save_problem(post_dir, "Magnetostatic", mesh.num_elements,
+                           space.num_dofs)
+    _metadata.save_timing(post_dir)
     return dict(M=M * henries, Mm=Mm * henries, iterations=its,
                 num_dofs=space.num_dofs, post_dir=post_dir)
 

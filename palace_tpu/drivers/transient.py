@@ -186,6 +186,10 @@ def solve(iodata: IoData, output_dir: str | None = None):
     write_transient_tables(iodata, sop, post_dir, rows)
     write_error_indicators(post_dir, [np.zeros(mesh.num_elements)])
     print_log(iodata, f"transient done in {time.time() - t0:.1f}s")
+    from palace_tpu.post import metadata as _metadata
+    _metadata.save_problem(post_dir, "Transient", mesh.num_elements,
+                           sop.space.num_dofs)
+    _metadata.save_timing(post_dir)
     return dict(post_dir=post_dir, num_dofs=sop.space.num_dofs, rows=rows)
 
 
