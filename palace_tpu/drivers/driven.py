@@ -149,6 +149,14 @@ def measure_step(sop: SpaceOperator, E: np.ndarray, omega: float,
             pm.S = pm.S - 1.0
         m.ports[idx] = pm
 
+    for idx, wp in sop.wave_ports.items():
+        pm = PortMeasurement()
+        pm.S = sop.waveport_sparam(idx, E, omega)
+        if idx == _drive_port(sop, excitation_idx):
+            pm.S = pm.S - 1.0
+        pm.P = sop.port_power_trace(sop._wp_trace_bases[idx], E, omega)
+        m.ports[idx] = pm
+
     if probe_locs is not None:
         from palace_tpu.fem import evaluation
 
@@ -161,6 +169,8 @@ def measure_step(sop: SpaceOperator, E: np.ndarray, omega: float,
 
 def _drive_port(sop: SpaceOperator, excitation_idx: int) -> Optional[int]:
     ports = [i for i, p in sop.ports.items() if p.excitation == excitation_idx]
+    ports += [i for i, p in sop.wave_ports.items()
+              if p.excitation == excitation_idx]
     return ports[0] if len(ports) == 1 else None
 
 
@@ -188,9 +198,8 @@ def solve(iodata: IoData, output_dir: str | None = None):
         sop = SpaceOperator(iodata, mesh)
     print_log(iodata, f"driven: {sop.space.num_dofs} dofs, "
                       f"{mesh.num_elements} elements, "
-                      f"{len(sop.ports)} lumped ports")
-    if iodata.boundaries.wave_ports:
-        raise NotImplementedError("wave ports land with the 2D mode solver")
+                      f"{len(sop.ports)} lumped + "
+                      f"{len(sop.wave_ports)} wave ports")
 
     freqs_ghz = driven_samples_ghz(iodata)
     fscale = units.scale_factor(ValueType.FREQUENCY)
@@ -261,9 +270,14 @@ def sweep_uniform(iodata, sop: SpaceOperator, omegas, excitations
     sols = {}
     for i, omega in enumerate(omegas):
         A = sop.system_csr(omega, K, C, M)
+        A2 = sop.waveport_a2_csr(omega)
+        if A2 is not None:
+            A = (A + A2).tocsr()
         lu = splu_nd(A, coords)
         for ex in excitations:
             b = 1j * omega * rhs1[ex]
+            if sop.wave_ports:
+                b = b + sop.waveport_rhs2(ex, omega)
             sols[(ex, i)] = lu.solve(b)
         print_log(iodata, f"  freq {i + 1}/{len(omegas)} solved "
                           f"({A.shape[0]} dofs x {len(excitations)} excitations)")
@@ -346,20 +360,23 @@ def write_driven_tables(iodata: IoData, sop: SpaceOperator, post_dir: str,
     Bfield = units.scale_factor(ValueType.FIELD_B)
 
     # port-S: columns are S[observation][drive-port] (always two indices,
-    # reference: postoperatorcsv.cpp S-parameter table).
+    # reference: postoperatorcsv.cpp S-parameter table), over lumped AND
+    # wave ports.
+    all_ports = sorted(list(sop.ports) + list(sop.wave_ports))
     t = Table()
     fc = t.add(freq_col())
     for ex in excitations:
-        drive = [j for j, p in sop.ports.items() if p.excitation == ex]
+        drive = [j for j, p in sop.ports.items() if p.excitation == ex] + \
+                [j for j, p in sop.wave_ports.items() if p.excitation == ex]
         dsfx = f"[{drive[0]}]" if len(drive) == 1 else f"[{ex}]"
-        for idx in sop.ports:
+        for idx in all_ports:
             t.add(Column(f"smag{idx}{ex}", f"|S[{idx}]{dsfx}| (dB)"))
             t.add(Column(f"sarg{idx}{ex}", f"arg(S[{idx}]{dsfx}) (deg.)"))
     for i, f in enumerate(freqs_ghz):
         fc.data.append(f)
         for ex in excitations:
             mm = meas[(ex, i)]
-            for idx in sop.ports:
+            for idx in all_ports:
                 S = mm.ports[idx].S
                 t.col(f"smag{idx}{ex}").data.append(
                     20.0 * math.log10(max(abs(S), 1e-300)))
@@ -367,8 +384,8 @@ def write_driven_tables(iodata: IoData, sop: SpaceOperator, post_dir: str,
                     math.degrees(math.atan2(S.imag, S.real)))
     t.write(os.path.join(post_dir, "port-S.csv"))
 
-    # port-V / port-I
-    for name, unit, scale, inc_fn, get in (
+    # port-V / port-I (lumped ports only; wave ports have no unique V/I)
+    for name, unit, scale, inc_fn, get in () if not sop.ports else (
         ("V", "(V)", V, lambda p: p.excitation_voltage(),
          lambda pm: pm.V),
         ("I", "(A)", A,

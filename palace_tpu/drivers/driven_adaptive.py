@@ -40,6 +40,10 @@ def sweep_adaptive(iodata, sop: SpaceOperator, omegas, excitations
                    ) -> Dict[Tuple[int, int], np.ndarray]:
     from palace_tpu.linalg.ordering import dof_coordinates, splu_nd
 
+    if sop.wave_ports:
+        raise NotImplementedError(
+            "adaptive PROM with wave ports (per-port factored reduced "
+            "operators, reference: romoperator.hpp:177-187) lands next round")
     cfg = iodata.solver.driven
     tol = cfg.adaptive_tol
     max_size = max(cfg.adaptive_max_size, 4)

@@ -69,15 +69,24 @@ def nd_operator(
             Wm = _planar_sandwich(gf.Jinvp, Cm, gf.Jinvp, gf.wdetJ)
             A = _assemble(V, Wm)
         if curl_coef is not None:
-            Cc = _per_elem_tensor(curl_coef, b.attr, sdim)
             if sdim == 3:
+                Cc = _per_elem_tensor(curl_coef, b.attr, sdim)
                 # (w/|detJ|) J^T nu J  (planar: Jp is (s, r, E, nq))
                 JT = gf.Jp.transpose(1, 0, 2, 3)  # (r, s, E, nq)
                 wsc = gf.w[None, :] / np.abs(gf.detJ)
                 Wc = _planar_sandwich(JT, Cc, JT, wsc)
             else:
-                # 2D: curl is scalar; (curl u, curl v) -> w/|detJ| * nu_zz
-                nu = Cc[:, 2, 2] if Cc.shape[-1] > 2 else Cc[:, 0, 0]
+                # 2D: curl is scalar out-of-plane; coefficient is the zz
+                # component of the 3x3 tensor (must be read BEFORE any
+                # in-plane truncation).
+                uniq = np.unique(b.attr)
+                lut = np.zeros(int(uniq.max()) + 1)
+                for a in uniq:
+                    t = np.asarray(curl_coef[int(a)], float)
+                    lut[int(a)] = (float(t) if t.ndim == 0 else
+                                   float(t[2, 2]) if t.shape[0] > 2 else
+                                   float(t[0, 0]))
+                nu = lut[b.attr]
                 Wc = (gf.w[None, :] / np.abs(gf.detJ) * nu[:, None])[None, None]
             Ac = _assemble(C, Wc)
             A = Ac if A is None else A + Ac

@@ -69,6 +69,19 @@ class SpaceOperator:
             for idx, port in self.ports.items()
         }
 
+        # Wave ports (reference: palace/models/waveportoperator.cpp).
+        self.wave_ports: Dict[int, object] = {}
+        self._wp_trace_bases: Dict[int, NDTraceBasis] = {}
+        if iodata.boundaries.wave_ports:
+            from palace_tpu.models.waveport import WavePortData
+
+            dbc = pec + list(iodata.boundaries.wave_port_pec)
+            for wcfg in iodata.boundaries.wave_ports:
+                wp = WavePortData(iodata, mesh, wcfg, self.materials, dbc)
+                self.wave_ports[wcfg.index] = wp
+                self._wp_trace_bases[wcfg.index] = nd_trace_basis(
+                    self.space, wp.trace)
+
     # -- assembly -----------------------------------------------------------
 
     def _build_domain(self):
@@ -219,7 +232,70 @@ class SpaceOperator:
         for idx, port in self.ports.items():
             if port.excitation:
                 out.setdefault(port.excitation, []).append(idx)
+        for idx, wp in self.wave_ports.items():
+            if wp.excitation:
+                out.setdefault(wp.excitation, []).append(idx)
         return dict(sorted(out.items()))
+
+    # -- wave port coupling (reference: waveportoperator.cpp:1258-1330) ------
+
+    def waveport_a2_csr(self, omega: float) -> Optional[sp.csr_matrix]:
+        """A2(omega) = sum_ports i kn_re (mu^-1 u_t, v_t) on port surfaces."""
+        if not self.wave_ports:
+            return None
+        from palace_tpu.fem.nd_boundary import boundary_mass_bucket
+
+        tables = []
+        for idx, wp in self.wave_ports.items():
+            if not wp.active:
+                continue
+            sol = wp.solve_mode(omega)
+            tb = self._wp_trace_bases[idx]
+            tr = tb.tr
+            attrs = np.empty(len(tr.elem), np.int32)
+            for bi, b in enumerate(self.mesh.buckets):
+                s = tr.bucket == bi
+                attrs[s] = b.attr[tr.elem[s]]
+            muinv = self.materials.attr_tensor(self.materials.inv_permeability,
+                                               attrs)
+            bk = boundary_mass_bucket(tb, muinv)
+            bk.A = 1j * sol.kn.real * bk.A
+            tables.append((np.asarray(bk.gidx), np.asarray(bk.A)))
+        if not tables:
+            return None
+        A2 = self._csr(tables).astype(complex)
+        free = sp.diags((~self.ess_mask).astype(float))
+        return (free @ A2 @ free).tocsr()
+
+    def waveport_rhs2(self, excitation_idx: int, omega: float) -> np.ndarray:
+        """RHS2 = -U_inc = 2 (-i omega) n x H_inc from the modal fields."""
+        from palace_tpu.fem.nd_boundary import boundary_rhs
+
+        out = np.zeros(self.space.num_dofs, complex)
+        for idx, wp in self.wave_ports.items():
+            if wp.excitation != excitation_idx:
+                continue
+            sol = wp.solve_mode(omega)
+            s_field = wp.nxh_field(sol, omega)
+            tb = self._wp_trace_bases[idx]
+            out += boundary_rhs(tb, 2.0 * omega * np.imag(s_field),
+                                self.space.num_dofs)
+            out += 1j * boundary_rhs(tb, -2.0 * omega * np.real(s_field),
+                                     self.space.num_dofs)
+        out[self.ess_mask] = 0.0
+        return out
+
+    def waveport_sparam(self, idx: int, E: np.ndarray, omega: float) -> complex:
+        """Modal overlap S = -∫ conj(s_field) . E dS
+        (reference: waveportoperator.cpp:832-850)."""
+        from palace_tpu.fem.nd_boundary import boundary_rhs
+
+        wp = self.wave_ports[idx]
+        sol = wp.solve_mode(omega)
+        s_field = wp.nxh_field(sol, omega)
+        tb = self._wp_trace_bases[idx]
+        sv = boundary_rhs(tb, np.conj(s_field), self.space.num_dofs)
+        return complex(-np.dot(sv, E))
 
     def rhs1(self, excitation_idx: int) -> np.ndarray:
         """Real excitation vector -U_inc = 2 Hinc E_inc (reference:
@@ -259,10 +335,16 @@ class SpaceOperator:
         """P = ∫ (E x conj(H)) . n dS with H = mu^-1 B, B = -curl E / (i omega),
         +n the direction of propagation into the domain (reference:
         lumpedportoperator.cpp:224-283)."""
+        P = 0.0 + 0.0j
+        for tb in self._port_trace_bases[idx]:
+            P += self.port_power_trace(tb, E, omega)
+        return complex(P)
+
+    def port_power_trace(self, tb, E: np.ndarray, omega: float) -> complex:
         from palace_tpu.fem.evaluation import trace_nd
 
         P = 0.0 + 0.0j
-        for tb in self._port_trace_bases[idx]:
+        for tb in (tb,):
             tr = tb.tr
             attrs = np.empty(len(tr.elem), np.int32)
             for bi, b in enumerate(self.mesh.buckets):

@@ -1,0 +1,411 @@
+"""Wave port boundaries: 2D mode eigensolver on the port cross-section
+(reference: palace/models/waveportoperator.cpp, modeeigensolver.cpp).
+
+Per frequency, solve the Vardapetyan-Demkowicz linearized boundary-mode GEP
+on the extracted port submesh
+
+    [Att  Atn] [et ]          [Btt  0] [et ]
+    [-s Btn Ann] [en~] = lam  [Btn  0] [en~],   Btn = -Atn^T,
+
+with Att = (mucc^-1 curl_t u, curl_t v) - w^2 (eps_t u, v) - s (mu_t^-1 u, v),
+Ann = -(mu_t^-1 grad u, grad v) + w^2 (eps_nn u, v), Atn = -(mu_t^-1 grad u, v),
+shift s = -w^2 mu eps_max 1.1, kn = sqrt(-s - lam)
+(modeeigensolver.hpp:37-95, waveportoperator.cpp:497-655).
+
+The propagating mode couples into the 3D driven system as (a) an extra
+boundary term +i kn (mu^-1 u_t, v_t) on the port surface and (b) the
+excitation RHS2 built from the modal n x H field
+(waveportoperator.cpp:1258-1330); S-parameters are modal overlaps
+S = -∫ conj(s_field) . E dS (waveportoperator.cpp:832-850).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+import scipy.sparse as sp
+
+from palace_tpu.config import IoData
+from palace_tpu.fem import reference as ref
+from palace_tpu.fem.h1 import H1Space
+from palace_tpu.fem.nd import NDSpace
+from palace_tpu.fem.operators import default_qorder, h1_operator
+from palace_tpu.fem.nd_operators import nd_operator
+from palace_tpu.fem.reference import Geom
+from palace_tpu.mesh.mesh import ElemBucket, Mesh, canonicalize_simplices
+from palace_tpu.mesh import geometry
+
+
+@dataclass
+class ModeSolution:
+    kn: complex
+    et: np.ndarray  # complex, port ND dofs
+    en: np.ndarray  # complex, port H1 dofs (physical En after back-transform)
+
+
+class WavePortData:
+    """One wave port: extracted 2D submesh, spaces, and per-frequency mode."""
+
+    def __init__(self, iodata: IoData, mesh: Mesh, cfg, materials, dbc_attrs):
+        self.cfg = cfg
+        self.index = cfg.index
+        self.attrs = list(cfg.attributes)
+        self.excitation = cfg.excitation
+        self.active = cfg.active
+        self.mode_idx = max(cfg.mode, 1)
+        self.materials = materials
+        order = iodata.solver.order
+
+        # -- collect port facets (triangles) and their adjacent-element attrs
+        facets = []  # (conn 3d node ids, parent bdr attr)
+        for bb in mesh.bdr_buckets:
+            if bb.geom is not Geom.TRI:
+                continue
+            sel = np.isin(bb.attr, self.attrs)
+            if sel.any():
+                facets.append(bb.conn[sel][:, :3])
+        if not facets:
+            raise ValueError(f"wave port {self.index}: no boundary facets")
+        conn3d = np.concatenate(facets)  # (F, 3) corner nodes only
+        self.conn3d = conn3d
+
+        # -- plane frame (t1, t2, n), n oriented outward from the domain
+        nodes_ids = np.unique(conn3d.ravel())
+        P3 = mesh.nodes[nodes_ids]
+        self.origin = P3.mean(axis=0)
+        X = P3 - self.origin
+        _, svals, VT = np.linalg.svd(X, full_matrices=False)
+        if svals[-1] > 1e-8 * svals[0]:
+            raise NotImplementedError(
+                f"wave port {self.index}: non-planar port surface")
+        n = VT[2]
+        t1 = VT[0]
+        t2 = np.cross(n, t1)  # right-handed (t1, t2, n)
+        # Orient n outward: away from the adjacent volume element.
+        from palace_tpu.fem.evaluation import boundary_trace
+
+        self.trace = boundary_trace(mesh, self.attrs,
+                                    default_qorder(order, 1, Geom.TRI))
+        vb = mesh.buckets[self.trace.bucket[0]]
+        cent = mesh.nodes[vb.corners[self.trace.elem[0]]].mean(axis=0)
+        if np.dot(n, cent - self.origin) > 0:
+            n = -n
+            t2 = -t2
+        self.normal, self.t1, self.t2 = n, t1, t2
+
+        # -- 2D submesh in the (t1, t2) frame
+        g2l = {int(g): i for i, g in enumerate(nodes_ids)}
+        nodes2 = np.stack([X @ t1, X @ t2], axis=1)
+        conn2 = np.vectorize(g2l.get)(conn3d).astype(np.int32)
+        self.l2g = nodes_ids  # 2d node -> 3d node
+
+        # Boundary edges of the submesh, with parent 3D boundary attrs for
+        # essential-BC identification (reference: waveportoperator.cpp:49-119
+        # GetEssentialTrueDofs via the parent dbc list).
+        edges = np.sort(conn2[:, [[0, 1], [1, 2], [0, 2]]].reshape(-1, 2),
+                        axis=1)
+        uniq, counts = np.unique(edges, axis=0, return_counts=True)
+        bedges = uniq[counts == 1]  # submesh boundary edges (2d ids)
+        # Map to 3D node pairs and find a non-port bdr facet containing them.
+        dbc_edge = self._mark_dbc_edges(mesh, bedges, dbc_attrs)
+        bdr_attr = np.where(dbc_edge, 1, 2).astype(np.int32)  # 1 = dbc
+
+        self.mesh2 = Mesh(
+            nodes2,
+            [ElemBucket(2, Geom.TRI, 1, conn2, np.ones(len(conn2), np.int32))],
+            [ElemBucket(1, Geom.LINE, 1, bedges.astype(np.int32), bdr_attr)],
+            {},
+        )
+        # Per-element volume attribute (from the 3D trace, same facet order).
+        attr_of_facet = np.empty(len(conn2), np.int32)
+        for bi, b in enumerate(mesh.buckets):
+            s = self.trace.bucket == bi
+            attr_of_facet[s] = b.attr[self.trace.elem[s]]
+        self.mesh2.buckets[0].attr = attr_of_facet
+        canonicalize_simplices(self.mesh2)
+
+        self.nd = NDSpace(self.mesh2, order)
+        self.h1 = H1Space(self.mesh2, order)
+        self.ess_nd = self.nd.boundary_dofs([1])
+        self.ess_h1 = self.h1.boundary_dofs([1])
+
+        # -- projected material tensors per attribute
+        Pm = np.stack([t1, t2], axis=1)  # (3, 2)
+        self.eps_t: Dict[int, np.ndarray] = {}
+        self.muinv_t: Dict[int, np.ndarray] = {}
+        self.mucc: Dict[int, np.ndarray] = {}
+        self.eps_nn: Dict[int, float] = {}
+        self.eps_nn_imag: Dict[int, float] = {}
+        self.eps_t_imag: Dict[int, np.ndarray] = {}
+        lossy = materials.has_loss()
+        epsc = materials.complex_permittivity() if lossy else {
+            a: t.astype(complex) for a, t in materials.permittivity.items()}
+        mu_eps_max = 0.0
+        for a in np.unique(attr_of_facet):
+            a = int(a)
+            eps3 = epsc[a]
+            mi3 = materials.inv_permeability[a]
+            self.eps_t[a] = Pm.T @ np.real(eps3) @ Pm
+            self.eps_t_imag[a] = Pm.T @ np.imag(eps3) @ Pm
+            self.muinv_t[a] = Pm.T @ mi3 @ Pm
+            mcc = float(n @ mi3 @ n)
+            self.mucc[a] = np.diag([0.0, 0.0, mcc])  # used via [2,2] in 2D
+            self.eps_nn[a] = float(np.real(n @ eps3 @ n))
+            self.eps_nn_imag[a] = float(np.imag(n @ eps3 @ n))
+            mu3 = np.linalg.inv(mi3)
+            w = np.linalg.eigvalsh(0.5 * (mu3 @ np.real(eps3)
+                                          + (mu3 @ np.real(eps3)).T))
+            mu_eps_max = max(mu_eps_max, float(w.max()))
+        self.mu_eps_max = mu_eps_max * 1.1
+
+        # Frequency-independent matrices.
+        self._Btt = self._nd_mass(self.muinv_t)
+        self._Ktt = self._nd_curlcurl(self.mucc)
+        self._Mtt = self._nd_mass(self.eps_t)
+        self._Mtt_i = (self._nd_mass(self.eps_t_imag)
+                       if any(np.any(t != 0) for t in self.eps_t_imag.values())
+                       else None)
+        self._Atn = self._mixed_grad(self.muinv_t)
+        self._Knn = h1_operator(self.h1, diffusion_coef={
+            a: _pad3(t) for a, t in self.muinv_t.items()}).assemble_csr()
+        self._Mnn = h1_operator(self.h1, mass_coef={
+            a: np.eye(3) * self.eps_nn[a] for a in self.eps_nn}).assemble_csr()
+
+        self._mode_cache: Dict[float, ModeSolution] = {}
+        self.kn0: complex = 0.0
+
+    # -- assembly helpers ---------------------------------------------------
+
+    def _nd_mass(self, coef2):
+        return nd_operator(self.nd, mass_coef={
+            a: _pad3(t) for a, t in coef2.items()}).assemble_csr()
+
+    def _nd_curlcurl(self, coef3):
+        return nd_operator(self.nd, curl_coef=coef3).assemble_csr()
+
+    def _mixed_grad(self, coef2) -> sp.csr_matrix:
+        """Atn = +(mu_t^-1 grad_t u_h1, v_nd) as (nd, h1) CSR.
+
+        Sign convention: with e_n_tilde = i kn E_n and lambda = kn^2 the
+        self-consistent pencil is
+          [Ktt - w^2 Mtt,  Atn ] [et ]         [Btt,    0] [et ]
+          [      0,        Ann ] [en~] = lam   [Atn^T,  0] [en~]
+        (equivalent to the reference's -Atn / -kn^2 bookkeeping,
+        modeeigensolver.hpp:37-55, up to simultaneous sign flips).
+        """
+        mesh = self.mesh2
+        rows, cols, vals = [], [], []
+        b = mesh.buckets[0]
+        q = default_qorder(self.nd.order, 1, Geom.TRI)
+        gf = geometry.compute(mesh.nodes, b, q)
+        V, _ = self.nd.basis_tables(Geom.TRI, gf.qpts)  # (nq, ndn, 2)
+        Gh = self.h1.basis(Geom.TRI).eval_grad(gf.qpts)  # (nq, ndh, 2)
+        C = np.stack([_trunc2(coef2[int(a)]) for a in
+                      np.unique(b.attr)])  # lut
+        lut_i = {int(a): i for i, a in enumerate(np.unique(b.attr))}
+        Ce = C[[lut_i[int(a)] for a in b.attr]]  # (E, 2, 2)
+        Ji = gf.Jinvp  # (r, s, E, nq) planar
+        J = np.moveaxis(Ji, (0, 1), (2, 3))  # (E, nq, r, s)
+        # physical: grad u = Jinv^T G, v = Jinv^T V
+        gph = np.einsum("eqrs,qnr->eqns", J, Gh)
+        vph = np.einsum("eqrs,qnr->eqns", J, V)
+        cg = np.einsum("est,eqnt->eqns", Ce, gph)
+        A = np.einsum("eq,eqms,eqns->emn", gf.wdetJ, vph, cg, optimize=True)
+        nd_d = self.nd.elem_dofs[0]
+        h1_d = self.h1.elem_dofs[0]
+        E, ndn = nd_d.shape
+        ndh = h1_d.shape[1]
+        rows = np.repeat(nd_d, ndh, axis=1).ravel()
+        cols = np.tile(h1_d, (1, ndn)).ravel()
+        return sp.coo_matrix(
+            (A.reshape(E, -1).ravel(), (rows, cols)),
+            shape=(self.nd.num_dofs, self.h1.num_dofs)).tocsr()
+
+    # -- mode solve ---------------------------------------------------------
+
+    def solve_mode(self, omega: float) -> ModeSolution:
+        key = round(omega, 12)
+        if key in self._mode_cache:
+            return self._mode_cache[key]
+        from scipy.sparse.linalg import eigs
+
+        # lambda = -kn^2; shift at minus the max propagation constant squared
+        # (reference: waveportoperator.cpp:497-502,639).
+        sigma = -omega * omega * self.mu_eps_max
+        Att = (self._Ktt - omega * omega * self._Mtt).astype(complex)
+        if self._Mtt_i is not None:
+            Att = Att - 1j * omega * omega * self._Mtt_i
+        Ann = (-self._Knn + omega * omega * self._Mnn).astype(complex)
+        Atn = (-self._Atn).tocsr().astype(complex)
+        Btn = self._Atn.T.tocsr().astype(complex)
+        nnd, nh1 = self.nd.num_dofs, self.h1.num_dofs
+
+        def elim(M, ess_r, ess_c, diag):
+            M = M.tolil()
+            M[ess_r, :] = 0.0
+            M[:, ess_c] = 0.0
+            if diag:
+                M[ess_r, ess_r] = 1.0
+            return M.tocsr()
+
+        Att = elim(Att, self.ess_nd, self.ess_nd, True)
+        Ann = elim(Ann, self.ess_h1, self.ess_h1, True)
+        Atn = elim(Atn, self.ess_nd, self.ess_h1, False)
+        Btn = elim(Btn, self.ess_h1, self.ess_nd, False)
+        Btt = elim(self._Btt.astype(complex), self.ess_nd, self.ess_nd, False)
+
+        A = sp.bmat([[Att, Atn],
+                     [sp.csr_matrix((nh1, nnd)), Ann]], format="csc")
+        B = sp.bmat([[Btt, None],
+                     [Btn, sp.csr_matrix((nh1, nh1))]], format="csc")
+        nev = self.mode_idx + 4
+        # Manual shift-and-invert: T = (A - sigma B)^-1 B as a plain
+        # nonsymmetric eigenproblem (ARPACK's generalized mode requires an
+        # SPD mass matrix, which the singular nonsymmetric B is not).
+        from scipy.sparse.linalg import LinearOperator, splu
+
+        lu = splu((A - sigma * B).tocsc())
+        n_tot = nnd + nh1
+        T = LinearOperator((n_tot, n_tot), matvec=lambda x: lu.solve(B @ x),
+                           dtype=complex)
+        mu, vecs = eigs(T, k=nev, which="LM", tol=self.cfg.eig_tol)
+        lam = sigma + 1.0 / mu
+        # kn = sqrt(-lambda); sort by decreasing Re(kn) (most strongly
+        # propagating first).
+        kn = np.sqrt(-lam + 0j)
+        kn = np.where(np.real(kn) < 0, -kn, kn)
+        order = np.argsort(-np.real(kn))
+        pick = order[self.mode_idx - 1]
+        kn_m = complex(kn[pick])
+        v = vecs[:, pick]
+        et = v[:nnd]
+        en_t = v[nnd:]
+        en = en_t / (1j * kn_m)  # VD back-transform
+        sol = ModeSolution(kn_m, et, en)
+        self._normalize(sol, omega)
+        self._mode_cache[key] = sol
+        self.kn0 = sol.kn
+        return sol
+
+    # -- field evaluation at the 3D trace quadrature points -----------------
+
+    def _facet_tables(self):
+        """2D basis tables at the trace quadrature points of each facet."""
+        if hasattr(self, "_ft"):
+            return self._ft
+        mesh2 = self.mesh2
+        b = mesh2.buckets[0]
+        tr = self.trace
+        nfac, nq = tr.wdetJ.shape
+        # 2D coordinates of the 3D quadrature points.
+        xq2 = np.einsum("fqs,sr->fqr", tr.xq - self.origin,
+                        np.stack([self.t1, self.t2], axis=1))
+        # Reference coords in each (straight) 2D triangle.
+        X = mesh2.nodes[b.conn]  # (F, 3, 2)
+        v0 = X[:, 0]
+        Jm = np.stack([X[:, 1] - v0, X[:, 2] - v0], axis=2)  # (F, 2, 2)
+        Jinv = np.linalg.inv(Jm)
+        xi = np.einsum("frs,fqs->fqr", Jinv, xq2 - v0[:, None, :])
+        VA, CA = [], []
+        GH = []
+        BH = []
+        for f in range(nfac):
+            V, C = self.nd.basis_tables(Geom.TRI, xi[f])
+            h1b = self.h1.basis(Geom.TRI)
+            GH.append(h1b.eval_grad(xi[f]))
+            BH.append(h1b.eval(xi[f]))
+            VA.append(V)
+            CA.append(C)
+        self._ft = (np.stack(VA), np.stack(CA), np.stack(BH), np.stack(GH),
+                    Jinv)
+        return self._ft
+
+    def mode_fields_at_trace(self, sol: ModeSolution):
+        """(Et3, gradEn3, En) at trace qpoints: 3D-frame complex arrays."""
+        VA, CA, BH, GH, Jinv = self._facet_tables()
+        b = self.mesh2.buckets[0]
+        nd_d = self.nd.elem_dofs[0]
+        h1_d = self.h1.elem_dofs[0]
+        et_e = sol.et[nd_d]  # (F, ndn)
+        en_e = sol.en[h1_d]
+        # Covariant transforms with the per-facet affine Jinv.
+        et2 = np.einsum("frs,fqnr,fn->fqs", Jinv, VA, et_e)
+        gn2 = np.einsum("frs,fqnr,fn->fqs", Jinv, GH, en_e)
+        en_q = np.einsum("fqn,fn->fq", BH, en_e)
+        lift = np.stack([self.t1, self.t2], axis=0)  # (2, 3)
+        Et3 = np.einsum("fqs,st->fqt", et2, lift)
+        Gn3 = np.einsum("fqs,st->fqt", gn2, lift)
+        return Et3, Gn3, en_q
+
+    def nxh_field(self, sol: ModeSolution, omega: float) -> np.ndarray:
+        """Complex modal (n x H)-type vector at trace qpoints (the reference's
+        BdrSubmeshHVectorCoefficient, waveportoperator.cpp:121-150):
+        V = mu^-1 (-kn_re Et - (1/i) grad_t En) / omega."""
+        Et3, Gn3, _ = self.mode_fields_at_trace(sol)
+        attrs = self.mesh2.buckets[0].attr  # facet volume attrs (same order)
+        muinv = self.materials.attr_tensor(self.materials.inv_permeability,
+                                           attrs)
+        kr = sol.kn.real
+        U_re = -kr * np.real(Et3) - np.imag(Gn3)
+        U_im = -kr * np.imag(Et3) + np.real(Gn3)
+        U = U_re + 1j * U_im
+        return np.einsum("fst,fqt->fqs", muinv, U) / omega
+
+    def _normalize(self, sol: ModeSolution, omega: float):
+        """Unit power: |∫ E . (-n x H*) dS| = 1, with a deterministic phase
+        (reference: waveportoperator.cpp:121-150 Normalize)."""
+        s_field = self.nxh_field(sol, omega)
+        Et3, _, _ = self.mode_fields_at_trace(sol)
+        tr = self.trace
+        dot = -np.einsum("fq,fqs,fqs->", tr.wdetJ, np.conj(s_field), Et3)
+        power = abs(dot)
+        if power <= 0:
+            raise RuntimeError("wave port mode has zero power")
+        scale = 1.0 / math.sqrt(power)
+        # Deterministic phase: rotate so the largest-magnitude et dof is
+        # real positive.
+        k = int(np.argmax(np.abs(sol.et)))
+        phase = np.exp(-1j * np.angle(sol.et[k]))
+        sol.et *= scale * phase
+        sol.en *= scale * phase
+
+
+def _pad3(t2: np.ndarray) -> np.ndarray:
+    out = np.zeros((3, 3))
+    out[:2, :2] = t2
+    return out
+
+
+def _trunc2(t: np.ndarray) -> np.ndarray:
+    return t[:2, :2]
+
+
+def _facet_edge_set(mesh: Mesh, attrs) -> set:
+    """All (sorted) vertex-pair edges of boundary facets with given attrs."""
+    out = set()
+    for bb in mesh.bdr_buckets:
+        sel = np.isin(bb.attr, list(attrs))
+        if not sel.any():
+            continue
+        c = bb.corners[sel]
+        for (i, j) in ((0, 1), (1, 2), (0, 2)):
+            e = np.sort(c[:, [i, j]].astype(np.int64), axis=1)
+            out.update(map(tuple, e))
+    return out
+
+
+def _mark_dbc_edges(self, mesh, bedges, dbc_attrs):
+    """Which submesh boundary edges lie on 3D Dirichlet (PEC) surfaces."""
+    dbc = _facet_edge_set(mesh, dbc_attrs) if dbc_attrs else set()
+    g = self.l2g
+    out = np.zeros(len(bedges), bool)
+    for k, (a, b) in enumerate(bedges):
+        key = (min(g[a], g[b]), max(g[a], g[b]))
+        out[k] = key in dbc
+    return out
+
+
+WavePortData._mark_dbc_edges = _mark_dbc_edges

@@ -140,3 +140,32 @@ def test_surface_postprocessing(tmp_path):
     assert Q == pytest.approx(1.0 / (0.01 * p), rel=1e-9)
     assert (tmp_path / "out" / "surface-F.csv").exists()
     assert (tmp_path / "out" / "surface-Q.csv").exists()
+
+
+def test_driven_wave_port_tem(tmp_path):
+    """Wave-port driven solve on the parallel-plate TEM line: the port mode
+    solver finds the TEM mode (kn = omega), |S21| ~ 1, arg(S21) = -k L
+    (reference analog: cpw wave-port uniform sweep)."""
+    from palace_tpu.api import run
+
+    f_ghz = 15.0
+    path = make_case(str(tmp_path), {"Type": "Driven"}, {
+        "Driven": {"Samples": [{"Type": "Point", "Freq": [f_ghz]}]},
+        "Linear": {"Tol": 1e-10, "MaxIts": 300}})
+    cfg = json.load(open(path))
+    cfg["Boundaries"] = {
+        "PEC": {"Attributes": [5, 6]},
+        "WavePort": [
+            {"Index": 1, "Attributes": [1], "Mode": 1, "Excitation": True},
+            {"Index": 2, "Attributes": [2], "Mode": 1},
+        ],
+    }
+    json.dump(cfg, open(path, "w"))
+    res = run(path, output_dir=str(tmp_path / "out"))
+    m = res["measurements"][(1, 0)]
+    S11, S21 = m.ports[1].S, m.ports[2].S
+    assert abs(S21) == pytest.approx(1.0, abs=0.02)
+    assert abs(S11) < 0.05
+    kL = 2 * math.pi * f_ghz * 1e9 / 299792458.0 * (L * 1e-3)
+    phase = -math.atan2(S21.imag, S21.real) % (2 * math.pi)
+    assert phase == pytest.approx(kL % (2 * math.pi), abs=0.05)
