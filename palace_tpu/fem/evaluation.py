@@ -139,6 +139,9 @@ def eval_nd(space, u: np.ndarray, locs: List[PointLocation],
         X = mesh.nodes[b.conn[loc.elem]]
         J = X.T @ gb.eval_grad(xi)[0]
         ue = u[space.elem_dofs[loc.bucket][loc.elem]]
+        sg = getattr(space, "elem_signs", None)
+        if sg is not None and sg[loc.bucket] is not None:
+            ue = ue * sg[loc.bucket][loc.elem]
         if which == "value":
             out[i] = np.linalg.inv(J).T @ (V[0].T @ ue)
         else:
@@ -317,6 +320,9 @@ def trace_nd(space, u: np.ndarray, tr: BoundaryTrace, which: str = "value"
         X = mesh.nodes[b.conn[tr.elem[sel]]]
         J = np.einsum("ens,enqr->eqsr", X, Gg.transpose(0, 2, 1, 3))
         ue = u[space.elem_dofs[bi][tr.elem[sel]]]
+        sg = getattr(space, "elem_signs", None)
+        if sg is not None and sg[bi] is not None:
+            ue = ue * sg[bi][tr.elem[sel]]
         if which == "value":
             Jinv = smallmat.inv(J)
             vref = np.einsum("eqnr,en->eqr", V, ue)

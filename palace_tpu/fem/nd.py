@@ -179,8 +179,19 @@ class NDSpace:
         self.order = order
         all_keys = []
         shapes = []
+        sign_blocks = []
         self._fns: Dict[Geom, Tuple[NDBasisFn, ...]] = {}
         for bid, b in enumerate(mesh.buckets):
+            if b.geom is Geom.HEX:
+                from palace_tpu.fem import nd_hex
+
+                keys, signs = nd_hex.hex_nd_keys_signs(
+                    order, b.corners.astype(np.int64), bid)
+                E, nd = signs.shape
+                all_keys.append(keys.reshape(E * nd, 7))
+                shapes.append((E, nd))
+                sign_blocks.append(signs)
+                continue
             if b.geom is Geom.TET:
                 fns = nd_basis_tet(order)
             elif b.geom is Geom.TRI:
@@ -188,7 +199,7 @@ class NDSpace:
             else:
                 raise NotImplementedError(
                     f"ND space on {b.geom} requires the tensor-product path "
-                    "(hex/prism Nedelec lands with the high-order hex kernels)"
+                    "(prism Nedelec lands with the wedge kernels)"
                 )
             self._fns[b.geom] = fns
             corners = b.corners.astype(np.int64)
@@ -218,15 +229,21 @@ class NDSpace:
                     interior_count += 1
             all_keys.append(keys.reshape(E * len(fns), 7))
             shapes.append((E, len(fns)))
+            sign_blocks.append(None)
         cat = np.concatenate(all_keys)
         self.num_dofs, ids, self.unique_keys = dofmap.number_dofs(cat)
         self.elem_dofs: List[np.ndarray] = []
+        self.elem_signs: List[np.ndarray | None] = sign_blocks
         ofs = 0
         for (E, nd) in shapes:
             self.elem_dofs.append(ids[ofs : ofs + E * nd].reshape(E, nd))
             ofs += E * nd
 
     def basis_tables(self, geom: Geom, pts: np.ndarray):
+        if geom is Geom.HEX:
+            from palace_tpu.fem import nd_hex
+
+            return nd_hex.hex_nd_eval(self.order, pts)
         fns = self._fns[geom]
         nvert = 4 if geom is Geom.TET else 3
         return eval_nd_basis(fns, pts, nvert)
@@ -238,7 +255,7 @@ class NDSpace:
         p = self.order
         found = []
         for b in self.mesh.bdr_buckets:
-            if b.geom not in (Geom.TRI, Geom.LINE):
+            if b.geom not in (Geom.TRI, Geom.LINE, Geom.QUAD):
                 continue
             sel = np.isin(b.attr, list(attrs))
             if not sel.any():
@@ -246,6 +263,25 @@ class NDSpace:
             corners = b.corners[sel].astype(np.int64)
             E = corners.shape[0]
             keys = []
+            if b.geom is Geom.QUAD:
+                # Hex-face trace: p dofs per edge + 2 p (p-1) face dofs.
+                for (a, bb) in ((0, 1), (1, 2), (2, 3), (0, 3)):
+                    ga, gb = corners[:, a], corners[:, bb]
+                    for v in range(p):
+                        keys.append(dofmap.edge_keys(
+                            np.minimum(ga, gb), np.maximum(ga, gb),
+                            np.zeros(E, np.int64), 1, variant=v))
+                for v in range(2 * p * (p - 1)):
+                    k = np.full((E, 7), -1, np.int64)
+                    k[:, 0] = dofmap.KIND_QUAD
+                    k[:, 1:5] = np.sort(corners[:, :4], axis=1)
+                    k[:, 5] = v
+                    k[:, 6] = 101
+                    keys.append(k)
+                kcat = np.concatenate(keys)
+                ids = dofmap.lookup_keys(self.unique_keys, kcat)
+                found.append(ids[ids >= 0])
+                continue
             if b.geom is Geom.LINE:
                 # 2D mesh: the facet is a single edge with p dofs.
                 for v in range(p):

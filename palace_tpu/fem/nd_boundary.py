@@ -55,8 +55,12 @@ def nd_trace_basis(space, tr: BoundaryTrace) -> NDTraceBasis:
         X = mesh.nodes[b.conn[tr.elem[sel]]]
         J = np.einsum("ens,enqr->eqsr", X, Gg.transpose(0, 2, 1, 3))
         Jinv = smallmat.inv(J)
-        # Covariant transform: u_phys = J^{-T} u_ref.
+        # Covariant transform: u_phys = J^{-T} u_ref (orientation signs of
+        # tensor-product elements folded directly into the tables).
         V[sel] = np.einsum("eqrs,eqnr->eqns", Jinv, Vr)
+        sg = getattr(space, "elem_signs", None)
+        if sg is not None and sg[bi] is not None:
+            V[sel] *= sg[bi][tr.elem[sel]][:, None, :, None]
         dofs[sel] = space.elem_dofs[bi][tr.elem[sel]]
     nrm = tr.normal  # (n, nq, sdim)
     Vt = V - np.einsum("fqs,fqn->fqns", nrm, np.einsum("fqns,fqs->fqn", V, nrm))

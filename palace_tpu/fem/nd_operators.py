@@ -54,8 +54,9 @@ def nd_operator(
     """
     mesh = space.mesh
     sdim = mesh.nodes.shape[1]
+    signs_list = getattr(space, "elem_signs", [None] * len(mesh.buckets))
     buckets: List[BucketTables] = []
-    for b, ed in zip(mesh.buckets, space.elem_dofs):
+    for b, ed, sg in zip(mesh.buckets, space.elem_dofs, signs_list):
         p = space.order
         q = qorder or default_qorder(p, b.geo_order, b.geom)
         gf = geometry.compute(mesh.nodes, b, q)
@@ -90,7 +91,7 @@ def nd_operator(
                 Wc = (gf.w[None, :] / np.abs(gf.detJ) * nu[:, None])[None, None]
             Ac = _assemble(C, Wc)
             A = Ac if A is None else A + Ac
-        buckets.append(BucketTables(gidx=ed, A=A))
+        buckets.append(BucketTables(gidx=ed, A=A, signs=sg))
     return PAOperator(space.num_dofs, buckets, dtype, mode="element")
 
 

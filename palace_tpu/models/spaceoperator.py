@@ -172,13 +172,22 @@ class SpaceOperator:
     # -- operators ----------------------------------------------------------
 
     def _combine(self, dom: Optional[PAOperator], bdr: List[BucketTables]):
-        """List of (gidx, A) table pairs for dom + bdr contributions."""
+        """List of (gidx, A) table pairs for dom + bdr contributions, with
+        orientation signs folded into the element matrices."""
         out = []
+
+        def entry(b):
+            A = np.asarray(b.A)
+            if b.signs is not None:
+                s = np.asarray(b.signs)
+                A = A * s[:, :, None] * s[:, None, :]
+            return (np.asarray(b.gidx), A)
+
         if dom is not None:
             for b in dom.buckets:
-                out.append((np.asarray(b.gidx), np.asarray(b.A)))
+                out.append(entry(b))
         for b in bdr:
-            out.append((np.asarray(b.gidx), np.asarray(b.A)))
+            out.append(entry(b))
         return out
 
     def _csr(self, tables) -> sp.csr_matrix:

@@ -108,10 +108,13 @@ class WavePortData:
         edges = np.sort(conn2[:, [[0, 1], [1, 2], [0, 2]]].reshape(-1, 2),
                         axis=1)
         uniq, counts = np.unique(edges, axis=0, return_counts=True)
-        bedges = uniq[counts == 1]  # submesh boundary edges (2d ids)
-        # Map to 3D node pairs and find a non-port bdr facet containing them.
-        dbc_edge = self._mark_dbc_edges(mesh, bedges, dbc_attrs)
-        bdr_attr = np.where(dbc_edge, 1, 2).astype(np.int32)  # 1 = dbc
+        # Essential edges come from 3D Dirichlet surfaces and may be
+        # INTERIOR lines of the port submesh (e.g. the CPW metal trace
+        # cutting through the port plane) as well as boundary edges.
+        dbc_all = self._mark_dbc_edges(mesh, uniq, dbc_attrs)
+        sel = (counts == 1) | dbc_all
+        bedges = uniq[sel]
+        bdr_attr = np.where(dbc_all[sel], 1, 2).astype(np.int32)  # 1 = dbc
 
         self.mesh2 = Mesh(
             nodes2,
