@@ -21,4 +21,7 @@ def get_driver(problem_type):
     if problem_type is ProblemType.TRANSIENT:
         from palace_tpu.drivers.transient import solve
         return solve
+    if problem_type is ProblemType.BOUNDARY_MODE:
+        from palace_tpu.drivers.boundarymode import solve
+        return solve
     raise NotImplementedError(f"driver for {problem_type} not implemented yet")
