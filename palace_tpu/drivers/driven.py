@@ -90,6 +90,7 @@ class StepMeasurement:
     probe_B: Optional[np.ndarray] = None
     surf_flux: Dict[int, complex] = field(default_factory=dict)
     surf_q: Dict[int, Tuple[float, float]] = field(default_factory=dict)  # (p, Q)
+    farfield: Optional[np.ndarray] = None  # (npts, 3) complex rE
 
 
 def measure_step(sop: SpaceOperator, E: np.ndarray, omega: float,
@@ -235,14 +236,22 @@ def solve(iodata: IoData, output_dir: str | None = None):
             return port_fn_cache[idx]
 
         surf_traces = build_surface_traces(iodata, sop)
+        ff_tb, ff_grid = build_farfield(iodata, sop)
         measurements: Dict[Tuple[int, int], StepMeasurement] = {}
         for (ex, i), E in sols.items():
             m = measure_step(sop, E, omegas[i], ex, port_fn, probe_locs)
             measure_surfaces(iodata, sop, m, E, omegas[i], surf_traces)
+            if ff_tb is not None:
+                from palace_tpu.post.farfield import stratton_chu
+
+                m.farfield = stratton_chu(sop, ff_tb, E, omegas[i], ff_grid)
             measurements[(ex, i)] = m
 
         write_driven_tables(iodata, sop, post_dir, freqs_ghz, excitations,
                             measurements)
+        if ff_tb is not None:
+            write_farfield_table(iodata, sop, post_dir, freqs_ghz,
+                                 excitations, measurements, ff_grid)
         write_error_indicators(post_dir, [np.zeros(mesh.num_elements)])
     metadata.save_problem(post_dir, "Driven", mesh.num_elements,
                           sop.space.num_dofs)
@@ -270,9 +279,9 @@ def sweep_uniform(iodata, sop: SpaceOperator, omegas, excitations
     sols = {}
     for i, omega in enumerate(omegas):
         A = sop.system_csr(omega, K, C, M)
-        A2 = sop.waveport_a2_csr(omega)
-        if A2 is not None:
-            A = (A + A2).tocsr()
+        for A2 in (sop.waveport_a2_csr(omega), sop.abc2_a2_csr(omega)):
+            if A2 is not None:
+                A = (A + A2).tocsr()
         lu = splu_nd(A, coords)
         for ex in excitations:
             b = 1j * omega * rhs1[ex]
@@ -301,6 +310,48 @@ def build_surface_traces(iodata: IoData, sop: SpaceOperator):
         out["eps"][d.index] = boundary_trace(
             sop.mesh, d.attributes, sop.bdr_qorder, both_sides=True)
     return out
+
+
+def build_farfield(iodata: IoData, sop: SpaceOperator):
+    """(trace basis, (theta, phi) grid) for far-field postprocessing."""
+    ff = iodata.boundaries.farfield
+    if ff is None or not ff.attributes or sop.mesh.nodes.shape[1] != 3:
+        return None, None
+    from palace_tpu.fem.evaluation import boundary_trace
+    from palace_tpu.fem.nd_boundary import nd_trace_basis
+    from palace_tpu.post.farfield import sample_sphere
+
+    tr = boundary_trace(sop.mesh, ff.attributes, sop.bdr_qorder)
+    tb = nd_trace_basis(sop.space, tr)
+    grid = sample_sphere(ff.n_sample, ff.theta_phis)
+    return tb, grid
+
+
+def write_farfield_table(iodata, sop, post_dir, freqs_ghz, excitations, meas,
+                         grid):
+    """farfield-rE.csv (reference: postoperatorcsv.cpp farfield table)."""
+    units = iodata.units
+    V = units.scale_factor(ValueType.VOLTAGE)
+    t = Table()
+    fc = t.add(Column("f", "f (GHz)", min_left_padding=0, precision=8, sign=""))
+    ec = t.add(Column("exc", "exc", min_left_padding=8, print_as_int=True))
+    t.add(Column("theta", "theta (deg.)"))
+    t.add(Column("phi", "phi (deg.)"))
+    for d in ("x", "y", "z"):
+        t.add(Column(f"re{d}", f"r*Re{{E_{d}}} (V)"))
+        t.add(Column(f"im{d}", f"r*Im{{E_{d}}} (V)"))
+    for i, f in enumerate(freqs_ghz):
+        for ex in excitations:
+            rE = meas[(ex, i)].farfield
+            for p in range(len(grid)):
+                fc.data.append(f)
+                ec.data.append(ex)
+                t.col("theta").data.append(math.degrees(grid[p, 0]))
+                t.col("phi").data.append(math.degrees(grid[p, 1]))
+                for di, d in enumerate(("x", "y", "z")):
+                    t.col(f"re{d}").data.append(rE[p, di].real * V)
+                    t.col(f"im{d}").data.append(rE[p, di].imag * V)
+    t.write(os.path.join(post_dir, "farfield-rE.csv"))
 
 
 def _bbox_center(mesh, attrs):

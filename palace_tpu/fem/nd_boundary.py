@@ -32,14 +32,17 @@ class NDTraceBasis:
     Vt: np.ndarray  # (n, nq, nd, sdim) tangentially projected basis values
     V: np.ndarray  # (n, nq, nd, sdim) unprojected values
     dofs: np.ndarray  # (n, nd) global dofs of the adjacent volume element
+    Cn: Optional[np.ndarray] = None  # (n, nq, nd) n . curl(basis)
 
 
-def nd_trace_basis(space, tr: BoundaryTrace) -> NDTraceBasis:
+def nd_trace_basis(space, tr: BoundaryTrace, with_curl: bool = False
+                   ) -> NDTraceBasis:
     mesh = space.mesh
     n, nq = tr.wdetJ.shape
     sdim = mesh.nodes.shape[1]
     nd = space.elem_dofs[0].shape[1]
     V = np.zeros((n, nq, nd, sdim))
+    Cn = np.zeros((n, nq, nd)) if with_curl else None
     dofs = np.zeros((n, nd), np.int64)
     from palace_tpu.utils import smallmat
 
@@ -48,7 +51,7 @@ def nd_trace_basis(space, tr: BoundaryTrace) -> NDTraceBasis:
         if len(sel) == 0:
             continue
         xis = tr.xi[sel].reshape(-1, tr.xi.shape[-1])
-        Vr, _ = space.basis_tables(b.geom, xis)  # (n_sel*nq, nd, rdim)
+        Vr, Cr = space.basis_tables(b.geom, xis)  # (n_sel*nq, nd, rdim)
         Vr = Vr.reshape(len(sel), nq, -1, Vr.shape[-1])
         gb = ref.gmsh_geometry_basis(b.etype)
         Gg = gb.eval_grad(xis).reshape(len(sel), nq, -1, xis.shape[-1])
@@ -59,12 +62,31 @@ def nd_trace_basis(space, tr: BoundaryTrace) -> NDTraceBasis:
         # tensor-product elements folded directly into the tables).
         V[sel] = np.einsum("eqrs,eqnr->eqns", Jinv, Vr)
         sg = getattr(space, "elem_signs", None)
-        if sg is not None and sg[bi] is not None:
-            V[sel] *= sg[bi][tr.elem[sel]][:, None, :, None]
+        sgsel = (sg[bi][tr.elem[sel]]
+                 if sg is not None and sg[bi] is not None else None)
+        if sgsel is not None:
+            V[sel] *= sgsel[:, None, :, None]
+        if with_curl and sdim == 3:
+            Cr = Cr.reshape(len(sel), nq, -1, Cr.shape[-1])
+            detJ = smallmat.det(J)
+            cphys = np.einsum("eqsr,eqnr->eqns", J, Cr) / detJ[..., None, None]
+            cn = np.einsum("eqns,eqs->eqn", cphys, tr.normal[sel])
+            if sgsel is not None:
+                cn = cn * sgsel[:, None, :]
+            Cn[sel] = cn
         dofs[sel] = space.elem_dofs[bi][tr.elem[sel]]
     nrm = tr.normal  # (n, nq, sdim)
     Vt = V - np.einsum("fqs,fqn->fqns", nrm, np.einsum("fqns,fqs->fqn", V, nrm))
-    return NDTraceBasis(tr, Vt, V, dofs)
+    return NDTraceBasis(tr, Vt, V, dofs, Cn)
+
+
+def boundary_curl_bucket(tb: NDTraceBasis, coef: np.ndarray) -> BucketTables:
+    """Facet matrices A_f[n,m] = sum_q w c_f (n.curl u)(n.curl v) — the
+    surface-curl term of the 2nd-order absorbing BC (reference:
+    palace/models/farfieldboundaryoperator.cpp AddExtraSystemBdrCoefficients)."""
+    A = np.einsum("fq,f,fqn,fqm->fnm", tb.tr.wdetJ, coef, tb.Cn, tb.Cn,
+                  optimize=True)
+    return BucketTables(gidx=tb.dofs, A=A)
 
 
 def boundary_mass_bucket(tb: NDTraceBasis, coef: np.ndarray) -> BucketTables:

@@ -69,6 +69,37 @@ class SpaceOperator:
             for idx, port in self.ports.items()
         }
 
+        # Surface current sources (reference:
+        # palace/models/surfacecurrentoperator.cpp).
+        self._surface_currents = []
+        for sc in iodata.boundaries.surface_currents:
+            from palace_tpu.models.lumpedport import (
+                CoaxialElement, UniformElement)
+
+            elems, tbs = [], []
+            el_list = sc.elements if sc.elements else [
+                dict(attributes=sc.attributes, direction=sc.direction)]
+            for el in el_list:
+                attrs = el["attributes"] if isinstance(el, dict) else el.attributes
+                d = el["direction"] if isinstance(el, dict) else el.direction
+                is_coax = isinstance(d, str) and d.strip().upper().endswith("R")
+                if is_coax:
+                    e = CoaxialElement.build(mesh, attrs, d)
+                else:
+                    if isinstance(d, str):
+                        s = d.strip().upper()
+                        sign = -1.0 if s.startswith("-") else 1.0
+                        axis = {"X": 0, "Y": 1, "Z": 2}[s[-1]]
+                        vec = np.zeros(mesh.nodes.shape[1])
+                        vec[axis] = sign
+                    else:
+                        vec = np.asarray(d, float)
+                    e = UniformElement.build(mesh, attrs, vec)
+                elems.append(e)
+                tbs.append(nd_trace_basis(self.space, boundary_trace(
+                    mesh, attrs, self.bdr_qorder)))
+            self._surface_currents.append((sc, elems, tbs))
+
         # Wave ports (reference: palace/models/waveportoperator.cpp).
         self.wave_ports: Dict[int, object] = {}
         self._wp_trace_bases: Dict[int, NDTraceBasis] = {}
@@ -149,11 +180,12 @@ class SpaceOperator:
                 add(self.M_bdr, imp.attributes, Cs)
 
         ab = iod.boundaries.absorbing
+        self._abc2_tb = None
         if ab is not None and ab.attributes:
-            if ab.order > 1:
-                raise NotImplementedError("2nd-order absorbing BC not implemented")
             tr = boundary_trace(mesh, ab.attributes, self.bdr_qorder)
-            tb = nd_trace_basis(self.space, tr)
+            tb = nd_trace_basis(self.space, tr, with_curl=(ab.order > 1))
+            if ab.order > 1:
+                self._abc2_tb = tb
             # invz0 = sqrt(mu^-1 eps) of the adjacent material
             # (reference: materialoperator.cpp:318-319).
             sdim = mesh.nodes.shape[1]
@@ -236,7 +268,8 @@ class SpaceOperator:
 
     def excitations(self) -> Dict[int, List[int]]:
         """excitation index -> list of driven port indices (reference:
-        palace/models/portexcitations.cpp:95-123)."""
+        palace/models/portexcitations.cpp:95-155; surface currents and
+        dipoles are always excited and create excitation 1 if none exists)."""
         out: Dict[int, List[int]] = {}
         for idx, port in self.ports.items():
             if port.excitation:
@@ -244,9 +277,46 @@ class SpaceOperator:
         for idx, wp in self.wave_ports.items():
             if wp.excitation:
                 out.setdefault(wp.excitation, []).append(idx)
+        if not out and (self.iodata.domains.current_dipoles
+                        or self.iodata.boundaries.surface_currents):
+            out[1] = []
         return dict(sorted(out.items()))
 
     # -- wave port coupling (reference: waveportoperator.cpp:1258-1330) ------
+
+    def abc2_a2_csr(self, omega: float) -> Optional[sp.csr_matrix]:
+        """Second-order absorbing BC extra term: +i (0.5 (mu^-1 c)_nn / omega)
+        (curl_t u, curl_t v) on farfield surfaces (reference:
+        farfieldboundaryoperator.cpp:109-140; divergence term omitted as in
+        the reference/COMSOL)."""
+        if self._abc2_tb is None:
+            return None
+        from palace_tpu.fem.nd_boundary import boundary_curl_bucket
+
+        tb = self._abc2_tb
+        tr = tb.tr
+        attrs = np.empty(len(tr.elem), np.int32)
+        for bi, b in enumerate(self.mesh.buckets):
+            s = tr.bucket == bi
+            attrs[s] = b.attr[tr.elem[s]]
+        # (mu^-1 c)_nn with c = sqrt((mu eps)^-1): scalar per facet.
+        coef = np.empty(len(tr.elem))
+        cache = {}
+        for k, a in enumerate(attrs):
+            a = int(a)
+            if a not in cache:
+                mi = self.materials.inv_permeability[a]
+                eps = self.materials.permittivity[a]
+                c = _matsqrt(np.linalg.inv(
+                    np.linalg.inv(mi) @ eps))  # sqrt((mu eps)^-1)
+                cache[a] = mi @ c
+            nbar = tr.normal[k].mean(axis=0)
+            coef[k] = float(nbar @ cache[a] @ nbar)
+        bk = boundary_curl_bucket(tb, coef)
+        A2 = self._csr([(np.asarray(bk.gidx),
+                         1j * (0.5 / omega) * np.asarray(bk.A))])
+        free = sp.diags((~self.ess_mask).astype(float))
+        return (free @ A2 @ free).tocsr()
 
     def waveport_a2_csr(self, omega: float) -> Optional[sp.csr_matrix]:
         """A2(omega) = sum_ports i kn_re (mu^-1 u_t, v_t) on port surfaces."""
@@ -319,6 +389,41 @@ class SpaceOperator:
                 Hinc = 1.0 / math.sqrt(Rs * elem.w * elem.l * len(port.elems))
                 f = elem.mode_field(tb.tr.xq, 2.0 * Hinc)
                 out += boundary_rhs(tb, f, self.space.num_dofs)
+        # Surface currents (always excited, unit current split across
+        # elements; reference: surfacecurrentoperator.cpp:AddExcitation...).
+        for sc, elems, tbs in self._surface_currents:
+            ne = len(elems)
+            for elem, tb in zip(elems, tbs):
+                f = elem.mode_field(tb.tr.xq, -1.0 / (elem.w * ne))
+                out += boundary_rhs(tb, f, self.space.num_dofs)
+        # Point current dipoles: rhs_n = -moment d . v_n(x0) (reference:
+        # currentdipoleoperator.cpp AddExcitationDomainIntegrators, RHS =
+        # -i omega J_e with J_e = moment delta(x - x0) d; dipoles drive every
+        # excitation, portexcitations.cpp:142-155).
+        for dp in self.iodata.domains.current_dipoles:
+            from palace_tpu.fem import evaluation
+
+            x0 = np.asarray(dp.center, float) / self.iodata.units.mesh_length_scale
+            loc = evaluation.PointLocator(self.mesh).locate(x0[None, :])[0]
+            b = self.mesh.buckets[loc.bucket]
+            xi = loc.xi[None, :]
+            V, _ = self.space.basis_tables(b.geom, xi)
+            import palace_tpu.fem.reference as refmod
+            gb = refmod.gmsh_geometry_basis(b.etype)
+            X = self.mesh.nodes[b.conn[loc.elem]]
+            J = X.T @ gb.eval_grad(xi)[0]
+            vphys = np.linalg.inv(J).T @ V[0].T  # (sdim, nd)
+            d = np.asarray(dp.direction, float)
+            d = d / np.linalg.norm(d)
+            from palace_tpu.config import ValueType as VT
+            u = self.iodata.units
+            moment = dp.moment / (u.scale_factor(VT.CURRENT)
+                                  * u.scale_factor(VT.LENGTH))
+            contrib = -moment * (d @ vphys)
+            sg = getattr(self.space, "elem_signs", None)
+            if sg is not None and sg[loc.bucket] is not None:
+                contrib = contrib * sg[loc.bucket][loc.elem]
+            np.add.at(out, self.space.elem_dofs[loc.bucket][loc.elem], contrib)
         out[self.ess_mask] = 0.0
         return out
 
