@@ -21,7 +21,11 @@ from palace_tpu.utils import smallmat
 
 # Cache keyed by (id(nodes), id(bucket), qorder, compute_xq) — meshes are
 # immutable after load/scale within a solve.
+# Cache keyed on object ids; values hold strong references to (nodes, bucket)
+# so live ids stay unique (id() of a garbage-collected array can be reused,
+# which would alias the cache onto a different mesh).
 _cache: dict = {}
+_cache_refs: list = []
 
 
 @dataclass
@@ -110,6 +114,7 @@ def compute(
         detJ, Jinvp = _planar_det_inv(Jp)
         gf = GeomFactors(qpts, w, Jp, detJ, w[None, :] * np.abs(detJ), Jinvp, None, xq)
         _cache[key] = gf
+        _cache_refs.append((nodes, bucket))
         return gf
 
     # Surface (or line) element embedded in higher dimension (small counts:
@@ -127,6 +132,7 @@ def compute(
         normal = n / np.linalg.norm(n, axis=-1, keepdims=True)
     gf = GeomFactors(qpts, w, Jp, detJ, w[None, :] * detJ, None, normal, xq)
     _cache[key] = gf
+    _cache_refs.append((nodes, bucket))
     return gf
 
 
