@@ -209,14 +209,35 @@ def solve(iodata: IoData, output_dir: str | None = None):
     if not excitations:
         raise ValueError("driven solver requires at least one excited port")
 
+    # Driven restart: skip already-computed (excitation, frequency) samples
+    # (flattened excitation-major index, 1-based; reference:
+    # drivensolver.cpp:150-171) and merge previously written CSV rows.
+    restart = max(int(iodata.solver.driven.restart), 1)
+    skip = restart - 1
+
     if iodata.solver.driven.adaptive_tol > 0.0:
         from palace_tpu.drivers.driven_adaptive import sweep_adaptive
 
+        if restart > 1:
+            raise ValueError('"Restart" is incompatible with adaptive sweeps')
         with timers.block("PROM construction"):
             sols = sweep_adaptive(iodata, sop, omegas, excitations)
     else:
         with timers.block("Linear solve"):
-            sols = sweep_uniform(iodata, sop, omegas, excitations)
+            sols = sweep_uniform(iodata, sop, omegas, excitations, skip=skip)
+        # Field checkpoint: save solved E vectors; on restart, reload the
+        # skipped samples and re-measure everything (exceeds the reference's
+        # CSV-reload restart — palace has no field-state checkpointing,
+        # basesolver.cpp Restart notes).
+        ckpt = os.path.join(post_dir, "checkpoint-E.npz")
+        if skip > 0 and os.path.exists(ckpt):
+            old = np.load(ckpt)
+            for key in old.files:
+                ex, i = map(int, key.split("_"))
+                if (ex, i) not in sols and i < len(omegas):
+                    sols[(ex, i)] = old[key]
+        np.savez_compressed(ckpt, **{f"{ex}_{i}": E
+                                     for (ex, i), E in sols.items()})
 
     with timers.block("Postprocessing"):
         probe_locs = None
@@ -252,6 +273,27 @@ def solve(iodata: IoData, output_dir: str | None = None):
         if ff_tb is not None:
             write_farfield_table(iodata, sop, post_dir, freqs_ghz,
                                  excitations, measurements, ff_grid)
+
+        # ParaView field output at the requested save frequencies.
+        save_f = set(round(f, 9) for f in iodata.solver.driven.save_freqs)
+        if iodata.problem.output_formats.paraview and save_f:
+            from palace_tpu.post.paraview import ParaviewSaver, nodal_average_nd
+
+            for ex in excitations:
+                pv = ParaviewSaver(post_dir, f"driven_{ex}" if multi_name(
+                    excitations) else "driven", mesh)
+                for i, f in enumerate(freqs_ghz):
+                    if round(f, 9) not in save_f or (ex, i) not in sols:
+                        continue
+                    E = sols[(ex, i)]
+                    Ev = nodal_average_nd(sop.space, np.real(E).copy()) \
+                        + 1j * nodal_average_nd(sop.space, np.imag(E).copy())
+                    Bv = (nodal_average_nd(sop.space, np.real(E).copy(), "curl")
+                          + 1j * nodal_average_nd(sop.space, np.imag(E).copy(),
+                                                  "curl")) * (-1 / (1j * omegas[i]))
+                    pv.save(f, {"E_real": np.real(Ev), "E_imag": np.imag(Ev),
+                                "B_real": np.real(Bv), "B_imag": np.imag(Bv)})
+                pv.finalize()
         write_error_indicators(post_dir, [np.zeros(mesh.num_elements)])
     metadata.save_problem(post_dir, "Driven", mesh.num_elements,
                           sop.space.num_dofs)
@@ -263,7 +305,7 @@ def solve(iodata: IoData, output_dir: str | None = None):
                 freqs_ghz=freqs_ghz, measurements=measurements)
 
 
-def sweep_uniform(iodata, sop: SpaceOperator, omegas, excitations
+def sweep_uniform(iodata, sop: SpaceOperator, omegas, excitations, skip=0
                   ) -> Dict[Tuple[int, int], np.ndarray]:
     """Frequency loop (reference: drivensolver.cpp:78-233): one sparse-direct
     factorization per frequency with geometric nested-dissection ordering
@@ -276,21 +318,31 @@ def sweep_uniform(iodata, sop: SpaceOperator, omegas, excitations
     M = sop.mass_csr()
     rhs1 = {ex: sop.rhs1(ex) for ex in excitations}
     coords = dof_coordinates(sop.space)
+    ex_list = list(excitations)
+    nfreq = len(omegas)
     sols = {}
     for i, omega in enumerate(omegas):
+        todo = [ex for k, ex in enumerate(ex_list)
+                if k * nfreq + i >= skip]
+        if not todo:
+            continue
         A = sop.system_csr(omega, K, C, M)
         for A2 in (sop.waveport_a2_csr(omega), sop.abc2_a2_csr(omega)):
             if A2 is not None:
                 A = (A + A2).tocsr()
         lu = splu_nd(A, coords)
-        for ex in excitations:
+        for ex in todo:
             b = 1j * omega * rhs1[ex]
             if sop.wave_ports:
                 b = b + sop.waveport_rhs2(ex, omega)
             sols[(ex, i)] = lu.solve(b)
         print_log(iodata, f"  freq {i + 1}/{len(omegas)} solved "
-                          f"({A.shape[0]} dofs x {len(excitations)} excitations)")
+                          f"({A.shape[0]} dofs x {len(todo)} excitations)")
     return sols
+
+
+def multi_name(excitations) -> bool:
+    return len(excitations) > 1
 
 
 def build_surface_traces(iodata: IoData, sop: SpaceOperator):

@@ -151,6 +151,19 @@ def solve(iodata: IoData, output_dir: str | None = None):
             td.col(f"pm{ecfg.index}").data.append(EmA / Em if Em > 0 else 0.0)
     td.write(os.path.join(post_dir, "domain-E.csv"))
 
+    # ParaView mode-field output (reference: eigensolver.cpp mode saves).
+    if iodata.problem.output_formats.paraview and cfg.n_post > 0 and modes:
+        from palace_tpu.post.paraview import ParaviewSaver, nodal_average_nd
+
+        pv = ParaviewSaver(post_dir, "eigenmode", mesh)
+        for i in range(min(cfg.n_post, len(modes))):
+            x = modes[i]
+            Ev = nodal_average_nd(space, np.real(x).copy()) \
+                + 1j * nodal_average_nd(space, np.imag(x).copy())
+            pv.save(float(i + 1),
+                    {"E_real": np.real(Ev), "E_imag": np.imag(Ev)})
+        pv.finalize()
+
     write_error_indicators(post_dir, [np.zeros(mesh.num_elements)])
     print_log(iodata, f"eigenmode done in {time.time() - t0:.1f}s; "
                       f"f[0] = {f[0].real:.6f} GHz")

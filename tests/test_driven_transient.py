@@ -169,3 +169,25 @@ def test_driven_wave_port_tem(tmp_path):
     kL = 2 * math.pi * f_ghz * 1e9 / 299792458.0 * (L * 1e-3)
     phase = -math.atan2(S21.imag, S21.real) % (2 * math.pi)
     assert phase == pytest.approx(kL % (2 * math.pi), abs=0.05)
+
+
+def test_driven_restart(tmp_path):
+    """Restart reloads checkpointed fields and reproduces the full sweep
+    (reference: drivensolver.cpp:150-171 Restart; here via the field
+    checkpoint)."""
+    from palace_tpu.api import run
+
+    samples = {"Samples": [{"Type": "Linear", "MinFreq": 10.0,
+                            "MaxFreq": 20.0, "NSample": 3}]}
+    base = make_case(str(tmp_path), {"Type": "Driven"}, {
+        "Driven": dict(samples), "Linear": {"Tol": 1e-10}})
+    run(base, output_dir=str(tmp_path / "out"))
+    full = open(tmp_path / "out" / "port-S.csv").read()
+
+    # Re-run with Restart=3 (skip the first two samples) in the same dir.
+    cfg = json.load(open(base))
+    cfg["Solver"]["Driven"]["Restart"] = 3
+    json.dump(cfg, open(base, "w"))
+    run(base, output_dir=str(tmp_path / "out"))
+    again = open(tmp_path / "out" / "port-S.csv").read()
+    assert again == full
