@@ -1,99 +1,81 @@
 """Eigenmode driver (reference: palace/drivers/eigensolver.cpp).
 
-Solves K x = omega^2 M x for the damped Maxwell cavity modes: K the
-mu^-1 curl-curl operator, M the (complex, lossy) permittivity mass.
+Solves the damped Maxwell eigenproblem (K + lam C + lam^2 M) x = 0 with
+lam = i omega: K the mu^-1 curl-curl operator (+ inductive boundary terms),
+C the conductivity/resistive-boundary damping, M the (complex, lossy)
+permittivity mass (+ capacitive boundary terms) — all assembled through the
+same SpaceOperator as the driven/transient solves.  Without damping the
+linear pencil K x = omega^2 M x is solved directly.
+
 Eigenvectors are normalized to unit M-norm so the per-mode electric field
-energy is exactly 1/2 in nondimensional units (reference:
-palace/linalg/slepc.cpp:470-510 GetEigenvectorNorm/RescaleEigenvectors).
+energy is 1/2 nondimensional (reference: palace/linalg/slepc.cpp:470-510).
+Lumped-port postprocessing (V, I, EPR, kappa/Q_ext) follows
+postoperator.cpp MeasureLumpedPorts (eigenmode branch).
 """
 
 from __future__ import annotations
 
+import math
 import os
 import time
 
-import jax.numpy as jnp
 import numpy as np
 
 from palace_tpu.config import IoData, ValueType
 from palace_tpu.drivers.common import (
-    make_output_dir,
-    nondim_point,
-    prepare_mesh,
-    print_log,
-    write_error_indicators,
+    make_output_dir, prepare_mesh, print_log, write_error_indicators,
 )
-from palace_tpu.fem import evaluation
-from palace_tpu.fem.nd import NDSpace
-from palace_tpu.fem.nd_operators import nd_operator
-from palace_tpu.linalg.eig import shift_invert_eigs
-from palace_tpu.models.materials import MaterialOperator
+from palace_tpu.linalg.eig import quadratic_eigs, shift_invert_eigs
+from palace_tpu.models.spaceoperator import SpaceOperator
 from palace_tpu.post.tables import Column, Table, index_column
 
 
 def solve(iodata: IoData, output_dir: str | None = None):
     t0 = time.time()
     mesh = prepare_mesh(iodata)
-    from palace_tpu.mesh.mesh import canonicalize_simplices
-
-    canonicalize_simplices(mesh)
     post_dir = make_output_dir(iodata, output_dir)
     units = iodata.units
 
-    materials = MaterialOperator.build(iodata)
-    space = NDSpace(mesh, iodata.solver.order)
+    sop = SpaceOperator(iodata, mesh)
+    space = sop.space
     print_log(iodata, f"eigenmode: {space.num_dofs} dofs, "
                       f"{mesh.num_elements} elements")
 
-    if any(np.any(np.asarray(t) != 0.0) for t in materials.conductivity.values()):
-        raise NotImplementedError(
-            "eigenmode with conductive materials (quadratic EVP) lands with "
-            "the driven-solver damping work"
-        )
-
-    K = nd_operator(space, curl_coef=materials.inv_permeability)
-    Kcsr = K.assemble_csr()
-
-    lossy = materials.has_loss()
-    eps = materials.complex_permittivity() if lossy else materials.permittivity
-    # Assemble (complex) mass CSR: real and imag parts separately.
-    eps_re = {a: np.real(t) for a, t in eps.items()}
-    M_re = nd_operator(space, mass_coef=eps_re).assemble_csr()
-    if lossy:
-        eps_im = {a: np.imag(t) for a, t in eps.items()}
-        M_im = nd_operator(space, mass_coef=eps_im).assemble_csr()
-        Mcsr = (M_re + 1j * M_im).tocsr()
-    else:
-        Mcsr = M_re
-
-    ess = space.boundary_dofs(iodata.boundaries.pec)
+    Kcsr = sop.stiffness_csr()
+    Ccsr = sop.damping_csr()
+    Mcsr = sop.mass_csr()
+    ess = np.where(sop.ess_mask)[0]
 
     cfg = iodata.solver.eigenmode
     f_t = units.nondimensionalize(ValueType.FREQUENCY, cfg.target)
-    sigma = (2 * np.pi * f_t) ** 2
+    omega_t = 2 * np.pi * f_t
     nev = max(cfg.n, 1)
-    # Request extra vectors: the gradient-nullspace cluster at lambda = 0 is
-    # filtered below, so over-allocate to still deliver n physical modes.
-    result = shift_invert_eigs(
-        Kcsr, Mcsr, ess, sigma, 2 * nev + 8, tol=cfg.tol
-    )
+    if Ccsr is not None and abs(Ccsr).max() > 0:
+        result = quadratic_eigs(Kcsr, Ccsr, Mcsr, ess, 1j * omega_t,
+                                2 * nev + 8, tol=cfg.tol)
+        lam = result.eigenvalues
+        omega = -1j * lam  # lam = i omega
+    else:
+        # Request extra vectors: the gradient-nullspace cluster at
+        # lambda = 0 is filtered below.
+        result = shift_invert_eigs(Kcsr, Mcsr, ess, omega_t ** 2,
+                                   2 * nev + 8, tol=cfg.tol)
+        lam = result.eigenvalues.astype(complex)
+        omega = np.sqrt(lam)
 
-    # omega = sqrt(lambda), ascending; drop the gradient-nullspace zero
-    # cluster (the role of the div-free projection, reference:
-    # palace/linalg/divfree.hpp:29-34).
-    lam = result.eigenvalues.astype(complex)
-    keep = np.real(lam) > max(1e-8, 1e-3 * sigma)
-    lam = lam[keep]
-    omega = np.sqrt(lam)
-    order = np.argsort(np.real(omega))
-    omega = omega[order]
+    # Drop the gradient-nullspace cluster near omega = 0 (the role of the
+    # div-free projection, reference: palace/linalg/divfree.hpp:29-34),
+    # sort ascending Re(omega), keep n.
+    keep = (np.real(omega) > max(1e-8, 1e-3 * abs(omega_t)))
+    omega = omega[keep]
+    order = np.argsort(np.real(omega))[: cfg.n]
     vecs = result.eigenvectors[:, keep][:, order]
     res = result.residuals[keep][order]
     bkwd = result.backward_errors[keep][order]
-    sel = np.arange(len(omega))[: cfg.n]
-    omega, vecs, res, bkwd = omega[sel], vecs[:, sel], res[sel], bkwd[sel]
+    omega = omega[order]
 
     ghz = units.scale_factor(ValueType.FREQUENCY)
+    f = omega / (2 * np.pi) * ghz
     t = Table()
     t.add(index_column("m"))
     t.add(Column("refreq", "Re{f} (GHz)"))
@@ -101,7 +83,6 @@ def solve(iodata: IoData, output_dir: str | None = None):
     t.add(Column("q", "Q"))
     t.add(Column("err_bkwd", "Error (Bkwd.)"))
     t.add(Column("err_abs", "Error (Abs.)"))
-    f = omega / (2 * np.pi) * ghz
     for i in range(len(omega)):
         fi = f[i]
         Q = (abs(fi) / (2 * fi.imag)) if fi.imag != 0 else np.inf
@@ -113,45 +94,18 @@ def solve(iodata: IoData, output_dir: str | None = None):
         t.col("err_abs").data.append(res[i])
     t.write(os.path.join(post_dir, "eig.csv"))
 
-    # Normalize to unit M-norm and write per-mode energies.
-    Escale = units.scale_factor(ValueType.ENERGY)
-    td = Table()
-    td.add(index_column("m"))
-    td.add(Column("Ee", "E_elec (J)"))
-    td.add(Column("Em", "E_mag (J)"))
-    td.add(Column("Ec", "E_cap (J)"))
-    td.add(Column("Ei", "E_ind (J)"))
-    for ecfg in iodata.domains.energies:
-        td.add(Column(f"Ee{ecfg.index}", f"E_elec[{ecfg.index}] (J)"))
-        td.add(Column(f"pe{ecfg.index}", f"p_elec[{ecfg.index}]"))
-        td.add(Column(f"Em{ecfg.index}", f"E_mag[{ecfg.index}] (J)"))
-        td.add(Column(f"pm{ecfg.index}", f"p_mag[{ecfg.index}]"))
+    # Normalize to unit M-norm.
     modes = []
     for i in range(len(omega)):
         x = vecs[:, i]
-        mnorm2 = np.real(np.conj(x) @ (Mcsr @ x))
-        x = x / np.sqrt(mnorm2)
-        modes.append(x)
-        Ee = 0.5 * np.real(np.conj(x) @ (M_re @ x))
-        # E_mag = 0.5 |1/omega|^2 x^H K x (B = curl E / (-i omega))
-        Em = 0.5 * np.real(np.conj(x) @ (Kcsr @ x)) / abs(omega[i]) ** 2
-        td.col("i").data.append(float(i + 1))
-        td.col("Ee").data.append(Ee * Escale)
-        td.col("Em").data.append(Em * Escale)
-        td.col("Ec").data.append(0.0)
-        td.col("Ei").data.append(0.0)
-        for ecfg in iodata.domains.energies:
-            # per-attribute energies via element masks
-            EeA = _masked_energy(space, M_re_op_cache(space, materials), x,
-                                 ecfg.attributes)
-            td.col(f"Ee{ecfg.index}").data.append(EeA * Escale)
-            td.col(f"pe{ecfg.index}").data.append(EeA / Ee if Ee > 0 else 0.0)
-            EmA = _masked_energy(space, K, x, ecfg.attributes) / abs(omega[i]) ** 2
-            td.col(f"Em{ecfg.index}").data.append(EmA * Escale)
-            td.col(f"pm{ecfg.index}").data.append(EmA / Em if Em > 0 else 0.0)
-    td.write(os.path.join(post_dir, "domain-E.csv"))
+        mnorm2 = abs(np.real(np.conj(x) @ (Mcsr @ x)))
+        modes.append(x / math.sqrt(mnorm2))
 
-    # ParaView mode-field output (reference: eigensolver.cpp mode saves).
+    _write_domain_energy(iodata, sop, post_dir, omega, modes, Kcsr, Mcsr)
+    if sop.ports:
+        _write_port_tables(iodata, sop, post_dir, omega, modes)
+
+    # ParaView mode-field output.
     if iodata.problem.output_formats.paraview and cfg.n_post > 0 and modes:
         from palace_tpu.post.paraview import ParaviewSaver, nodal_average_nd
 
@@ -165,34 +119,146 @@ def solve(iodata: IoData, output_dir: str | None = None):
         pv.finalize()
 
     write_error_indicators(post_dir, [np.zeros(mesh.num_elements)])
+    from palace_tpu.post import metadata
+    metadata.save_problem(post_dir, "Eigenmode", mesh.num_elements,
+                          space.num_dofs)
+    metadata.save_timing(post_dir)
     print_log(iodata, f"eigenmode done in {time.time() - t0:.1f}s; "
-                      f"f[0] = {f[0].real:.6f} GHz")
-    from palace_tpu.post import metadata as _metadata
-    _metadata.save_problem(post_dir, "Eigenmode", mesh.num_elements,
-                           space.num_dofs)
-    _metadata.save_timing(post_dir)
+                      f"f[0] = {f[0].real:.6f} GHz" if len(f) else "no modes")
     return dict(frequencies_ghz=f, post_dir=post_dir, num_dofs=space.num_dofs,
                 modes=np.stack(modes, axis=1) if modes else None)
 
 
-_mre_cache = {}
+def _write_domain_energy(iodata, sop, post_dir, omega, modes, Kcsr, Mcsr):
+    units = iodata.units
+    Escale = units.scale_factor(ValueType.ENERGY)
+    td = Table()
+    td.add(index_column("m"))
+    td.add(Column("Ee", "E_elec (J)"))
+    td.add(Column("Em", "E_mag (J)"))
+    td.add(Column("Ec", "E_cap (J)"))
+    td.add(Column("Ei", "E_ind (J)"))
+    for ecfg in iodata.domains.energies:
+        td.add(Column(f"Ee{ecfg.index}", f"E_elec[{ecfg.index}] (J)"))
+        td.add(Column(f"pe{ecfg.index}", f"p_elec[{ecfg.index}]"))
+        td.add(Column(f"Em{ecfg.index}", f"E_mag[{ecfg.index}] (J)"))
+        td.add(Column(f"pm{ecfg.index}", f"p_mag[{ecfg.index}]"))
+    for i in range(len(omega)):
+        x = modes[i]
+        Ee = 0.5 * _quad(sop.M_re, x)
+        Em = 0.5 * _quad(sop.K_dom, x) / abs(omega[i]) ** 2
+        Ec = Ei = 0.0
+        for idx, port in sop.ports.items():
+            s, v = sop.port_functionals(idx)
+            V = complex(np.dot(v, x))
+            if abs(port.L) > 0:
+                I = V / port.characteristic_impedance(np.real(omega[i]), "L")
+                Ei += 0.5 * abs(port.L) * float(np.real(I * np.conj(I)))
+            if abs(port.C) > 0:
+                Ec += 0.5 * abs(port.C) * float(np.real(V * np.conj(V)))
+        td.col("i").data.append(float(i + 1))
+        td.col("Ee").data.append(Ee * Escale)
+        td.col("Em").data.append(Em * Escale)
+        td.col("Ec").data.append(Ec * Escale)
+        td.col("Ei").data.append(Ei * Escale)
+        for ecfg in iodata.domains.energies:
+            EeA = 0.5 * _masked_quad(sop, sop.M_re, x, ecfg.attributes)
+            EmA = 0.5 * _masked_quad(sop, sop.K_dom, x,
+                                     ecfg.attributes) / abs(omega[i]) ** 2
+            td.col(f"Ee{ecfg.index}").data.append(EeA * Escale)
+            td.col(f"pe{ecfg.index}").data.append(EeA / Ee if Ee > 0 else 0.0)
+            td.col(f"Em{ecfg.index}").data.append(EmA * Escale)
+            td.col(f"pm{ecfg.index}").data.append(EmA / Em if Em > 0 else 0.0)
+    td.write(os.path.join(post_dir, "domain-E.csv"))
 
 
-def M_re_op_cache(space, materials):
-    key = id(space)
-    if key not in _mre_cache:
-        eps_re = {a: np.real(t) for a, t in
-                  (materials.complex_permittivity() if materials.has_loss()
-                   else materials.permittivity).items()}
-        _mre_cache[key] = nd_operator(space, mass_coef=eps_re)
-    return _mre_cache[key]
+def _write_port_tables(iodata, sop, post_dir, omega, modes):
+    """port-V / port-I / port-EPR / port-Q for eigen modes (reference:
+    postoperator.cpp MeasureLumpedPorts eigenmode branch)."""
+    units = iodata.units
+    Vs = units.scale_factor(ValueType.VOLTAGE)
+    As = units.scale_factor(ValueType.CURRENT)
+    ghz = units.scale_factor(ValueType.FREQUENCY)
+    fn = {idx: sop.port_functionals(idx) for idx in sop.ports}
+    with_L = [i for i, p in sop.ports.items() if abs(p.L) > 0]
+    with_R = [i for i, p in sop.ports.items() if abs(p.R) > 0]
+
+    tv, ti = Table(), Table()
+    for T in (tv, ti):
+        T.add(index_column("m"))
+    for idx in sop.ports:
+        tv.add(Column(f"re{idx}", f"Re{{V[{idx}]}} (V)"))
+        tv.add(Column(f"im{idx}", f"Im{{V[{idx}]}} (V)"))
+        ti.add(Column(f"re{idx}", f"Re{{I[{idx}]}} (A)"))
+        ti.add(Column(f"im{idx}", f"Im{{I[{idx}]}} (A)"))
+    tq = Table()
+    tq.add(index_column("m"))
+    for idx in with_R:
+        tq.add(Column(f"q{idx}", f"Q_ext[{idx}]"))
+        tq.add(Column(f"k{idx}", f"κ_ext[{idx}] (GHz)"))
+    te = Table()
+    te.add(index_column("m"))
+    for idx in with_L:
+        te.add(Column(f"p{idx}", f"p[{idx}]"))
+
+    for i in range(len(omega)):
+        x = modes[i]
+        om_re = float(np.real(omega[i]))
+        Ee = 0.5 * _quad(sop.M_re, x)
+        E_cap = 0.0
+        for idx, port in sop.ports.items():
+            if abs(port.C) > 0:
+                V = complex(np.dot(fn[idx][1], x))
+                E_cap += 0.5 * abs(port.C) * float(np.real(V * np.conj(V)))
+        E_tot = Ee + E_cap
+        for T in (tv, ti, tq, te):
+            T.col("i").data.append(float(i + 1))
+        for idx, port in sop.ports.items():
+            V = complex(np.dot(fn[idx][1], x))
+            I = 0.0 + 0.0j
+            I_R = I_L = 0.0 + 0.0j
+            for br, val in (("R", port.R), ("L", port.L), ("C", port.C)):
+                if abs(val) > 0:
+                    Ib = V / port.characteristic_impedance(om_re, br)
+                    I += Ib
+                    if br == "R":
+                        I_R = Ib
+                    if br == "L":
+                        I_L = Ib
+            tv.col(f"re{idx}").data.append(V.real * Vs)
+            tv.col(f"im{idx}").data.append(V.imag * Vs)
+            ti.col(f"re{idx}").data.append(I.real * As)
+            ti.col(f"im{idx}").data.append(I.imag * As)
+            if idx in with_R:
+                P_R = 0.5 * abs(port.R) * float(np.real(I_R * np.conj(I_R)))
+                kappa = math.copysign(P_R / E_tot, I_R.real) if E_tot > 0 else 0.0
+                Q = (om_re / abs(kappa)) if kappa != 0 else np.inf
+                tq.col(f"q{idx}").data.append(Q if np.isfinite(Q) else 0.0)
+                tq.col(f"k{idx}").data.append(kappa * ghz / (2 * math.pi))
+            if idx in with_L:
+                p = 0.5 * abs(port.L) * float(np.real(I_L * np.conj(I_L))) / \
+                    E_tot if E_tot > 0 else 0.0
+                te.col(f"p{idx}").data.append(p)
+    tv.write(os.path.join(post_dir, "port-V.csv"))
+    ti.write(os.path.join(post_dir, "port-I.csv"))
+    if with_R:
+        tq.write(os.path.join(post_dir, "port-Q.csv"))
+    if with_L:
+        te.write(os.path.join(post_dir, "port-EPR.csv"))
 
 
-def _masked_energy(space, op, x, attrs):
-    per_bucket = op.element_energy(jnp.asarray(np.real(x)))
-    per_bucket_i = op.element_energy(jnp.asarray(np.imag(x)))
+def _quad(op, x) -> float:
+    tot = 0.0
+    for part in (np.real(x), np.imag(x)):
+        for e in op.element_energy(np.ascontiguousarray(part)):
+            tot += 2.0 * float(np.sum(np.asarray(e)))
+    return tot
+
+
+def _masked_quad(sop, op, x, attrs) -> float:
     s = 0.0
-    for b, er, ei in zip(space.mesh.buckets, per_bucket, per_bucket_i):
-        m = np.isin(b.attr, attrs)
-        s += float(jnp.sum((jnp.asarray(er) + jnp.asarray(ei)) * jnp.asarray(m)))
+    for part in (np.real(x), np.imag(x)):
+        for b, e in zip(sop.mesh.buckets, op.element_energy(
+                np.ascontiguousarray(part))):
+            s += 2.0 * float(np.sum(np.asarray(e) * np.isin(b.attr, attrs)))
     return s

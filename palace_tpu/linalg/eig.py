@@ -77,3 +77,74 @@ def shift_invert_eigs(
     full = np.zeros((n, len(vals)), vecs.dtype)
     full[keep] = vecs
     return EigResult(np.asarray(vals), full, res, bkwd)
+
+
+def quadratic_eigs(
+    K: sp.spmatrix,
+    C: sp.spmatrix,
+    M: sp.spmatrix,
+    ess_dofs: np.ndarray,
+    sigma: complex,
+    nev: int,
+    tol: float = 1e-9,
+    max_it: Optional[int] = None,
+) -> EigResult:
+    """Quadratic pencil P(lam) x = (K + lam C + lam^2 M) x = 0 nearest
+    lam = sigma (reference: palace/drivers/eigensolver.cpp PEP path,
+    slepc.cpp PEP linearization).  lam = i omega for the damped Maxwell
+    problem.
+
+    Companion linearization z = [x; lam x]:
+      A z = lam B z,  A = [[0, I], [-K, -C]],  B = [[I, 0], [0, M]];
+    the shift-invert apply (A - sigma B)^-1 B reduces by block elimination
+    to one factorization of P(sigma) = K + sigma C + sigma^2 M.
+    """
+    n = K.shape[0]
+    keep = np.setdiff1d(np.arange(n), np.asarray(ess_dofs, np.int64))
+    Kr = K[keep][:, keep].tocsc().astype(complex)
+    Cr = C[keep][:, keep].tocsc().astype(complex)
+    Mr = M[keep][:, keep].tocsc().astype(complex)
+    m = Kr.shape[0]
+
+    P = (Kr + sigma * Cr + sigma * sigma * Mr).tocsc()
+    lu = spla.splu(P)
+
+    def matvec(z):
+        # Solve (A - sigma B) [u; v] = B [f; g] = [f; M g]:
+        #   -sigma u + v = f  ->  v = f + sigma u
+        #   -K u - C v - sigma M v = M g
+        #   => P(sigma) u = -(M g) - (C + sigma M) f
+        f = z[:m]
+        g = z[m:]
+        rhs = -(Mr @ g) - (Cr @ f) - sigma * (Mr @ f)
+        u = lu.solve(rhs)
+        v = f + sigma * u
+        return np.concatenate([u, v])
+
+    op = spla.LinearOperator((2 * m, 2 * m), matvec=matvec,
+                             dtype=np.complex128)
+    mu, zvecs = spla.eigs(op, k=nev, which="LM", tol=tol,
+                          maxiter=max_it or max(1000, 40 * nev))
+    vals = sigma + 1.0 / mu
+    vecs = zvecs[:m]
+    order = np.argsort(np.abs(vals - sigma))
+    vals, vecs = vals[order], vecs[:, order]
+
+    res = np.empty(len(vals))
+    bkwd = np.empty(len(vals))
+    Knorm = spla.norm(Kr, np.inf)
+    Cnorm = spla.norm(Cr, np.inf)
+    Mnorm = spla.norm(Mr, np.inf)
+    for i, lam in enumerate(vals):
+        x = vecs[:, i]
+        nx = np.linalg.norm(x)
+        if nx == 0:
+            res[i] = bkwd[i] = np.inf
+            continue
+        r = Kr @ x + lam * (Cr @ x) + lam * lam * (Mr @ x)
+        res[i] = np.linalg.norm(r) / nx
+        bkwd[i] = res[i] / (Knorm + abs(lam) * Cnorm + abs(lam) ** 2 * Mnorm)
+
+    full = np.zeros((n, len(vals)), vecs.dtype)
+    full[keep] = vecs
+    return EigResult(np.asarray(vals), full, res, bkwd)
