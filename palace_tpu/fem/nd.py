@@ -78,13 +78,49 @@ def _grad_prod(a: int, b: int, nv: int) -> List[Term]:
 
 
 @functools.lru_cache(maxsize=None)
-def nd_basis_tet(p: int) -> Tuple[NDBasisFn, ...]:
-    """First-kind Nedelec basis on the (sorted-vertex) reference tet.
+def _multi_indices(vars_: Tuple[int, ...], total: int, nv: int,
+                   min_on: Tuple[int, ...] = ()) -> List[Tuple[int, ...]]:
+    """All exponent tuples over `nv` slots supported on vars_ with |alpha| =
+    total and alpha >= 1 on each slot in min_on (lexicographic order)."""
+    out = []
 
-    Order 1: Whitney edge functions (6 dofs).
-    Order 2: + gradient edge functions and 2 face functions per face (20).
-    Order 3: + 3rd edge fns, 6 face fns/face, 3 interior (45), following the
-    P^-_p geometric decomposition.
+    def rec(pos, remaining, cur):
+        if pos == len(vars_):
+            if remaining == 0:
+                out.append(tuple(cur))
+            return
+        v = vars_[pos]
+        lo = 1 if v in min_on else 0
+        for k in range(lo, remaining + 1):
+            nxt = list(cur)
+            nxt[v] = k
+            rec(pos + 1, remaining - k, nxt)
+
+    rec(0, total, [0] * nv)
+    return out
+
+
+def _mono_terms(alpha: Tuple[int, ...], w_terms: List[Term]) -> List[Term]:
+    """lambda^alpha * (Whitney terms)."""
+    return [Term(t.coef, tuple(a + b for a, b in zip(alpha, t.alpha)), t.g)
+            for t in w_terms]
+
+
+def nd_basis_tet(p: int) -> Tuple[NDBasisFn, ...]:
+    """First-kind Nedelec (P^-_p Lambda^1) basis on the sorted-vertex
+    reference tet at arbitrary order, using the Bernstein-Whitney geometric
+    decomposition: every function is lambda^alpha W_ab with
+
+      - edge (a,b): supp(alpha) in {a,b}, |alpha| = p-1        (p per edge)
+      - face (a,b,c): families W_ab (alpha_c >= 1) and W_ac (alpha_b >= 1),
+        supp(alpha) in {a,b,c}, |alpha| = p-1          (p(p-1) per face)
+      - interior: families W_01, W_02, W_03 with alpha >= 1 on both
+        complementary vertices, |alpha| = p-1       (p(p-1)(p-2)/2 total)
+
+    Tangential-trace locality of each group is guaranteed by the vanishing
+    of W_ab's tangential trace on entities not containing edge (a,b)
+    (Arnold-Falk-Winther geometric decomposition; Ainsworth-Fu
+    Bernstein-Bezier bases for Whitney forms).
     """
     nv = 4
     edges = ref.GEOM_EDGES[Geom.TET]
@@ -93,23 +129,25 @@ def nd_basis_tet(p: int) -> Tuple[NDBasisFn, ...]:
     if p < 1:
         raise ValueError("ND order must be >= 1")
     for (a, b) in edges:
-        fns.append(NDBasisFn(_W(a, b, nv), dofmap.KIND_EDGE, (a, b), 0))
-        if p >= 2:
-            fns.append(NDBasisFn(_grad_prod(a, b, nv), dofmap.KIND_EDGE, (a, b), 1))
-    if p >= 2:
-        for (a, b, c) in faces:
-            fns.append(
-                NDBasisFn(_scale_terms(_W(a, b, nv), c, nv), dofmap.KIND_TRI,
-                          (a, b, c), 0)
-            )
-            fns.append(
-                NDBasisFn(_scale_terms(_W(a, c, nv), b, nv), dofmap.KIND_TRI,
-                          (a, b, c), 1)
-            )
-    if p >= 3:
-        raise NotImplementedError(
-            "tet ND order > 2: the full Arnold-Falk-Winther P^-_p family "
-            "lands in a later round")
+        W = _W(a, b, nv)
+        for v, alpha in enumerate(_multi_indices((a, b), p - 1, nv)):
+            fns.append(NDBasisFn(_mono_terms(alpha, W), dofmap.KIND_EDGE,
+                                 (a, b), v))
+    for (a, b, c) in faces:
+        v = 0
+        for (x, y, third) in ((a, b, c), (a, c, b)):
+            W = _W(x, y, nv)
+            for alpha in _multi_indices((a, b, c), p - 1, nv,
+                                        min_on=(third,)):
+                fns.append(NDBasisFn(_mono_terms(alpha, W), dofmap.KIND_TRI,
+                                     (a, b, c), v))
+                v += 1
+    for (x, y) in ((0, 1), (0, 2), (0, 3)):
+        comp = tuple(sorted(set(range(4)) - {x, y}))
+        W = _W(x, y, nv)
+        for alpha in _multi_indices((0, 1, 2, 3), p - 1, nv, min_on=comp):
+            fns.append(NDBasisFn(_mono_terms(alpha, W),
+                                 dofmap.KIND_INTERIOR, (), 0))
     return tuple(fns)
 
 
@@ -153,21 +191,23 @@ def eval_nd_basis(fns: Sequence[NDBasisFn], pts: np.ndarray, nvert: int = 4):
 
 @functools.lru_cache(maxsize=None)
 def nd_basis_tri(p: int) -> Tuple[NDBasisFn, ...]:
-    """2D first-kind Nedelec basis on the sorted-vertex reference triangle."""
+    """2D first-kind Nedelec basis on the sorted-vertex reference triangle
+    at arbitrary order (Bernstein-Whitney, see nd_basis_tet)."""
     nv = 3
     edges = ref.GEOM_EDGES[Geom.TRI]
     fns: List[NDBasisFn] = []
     for (a, b) in edges:
-        fns.append(NDBasisFn(_W(a, b, nv), dofmap.KIND_EDGE, (a, b), 0))
-        if p >= 2:
-            fns.append(NDBasisFn(_grad_prod(a, b, nv), dofmap.KIND_EDGE, (a, b), 1))
-    if p >= 2:
-        fns.append(NDBasisFn(_scale_terms(_W(0, 1, nv), 2, nv),
-                             dofmap.KIND_TRI, (0, 1, 2), 0))
-        fns.append(NDBasisFn(_scale_terms(_W(0, 2, nv), 1, nv),
-                             dofmap.KIND_TRI, (0, 1, 2), 1))
-    if p >= 3:
-        raise NotImplementedError("2D ND order > 2 lands in a later round")
+        W = _W(a, b, nv)
+        for v, alpha in enumerate(_multi_indices((a, b), p - 1, nv)):
+            fns.append(NDBasisFn(_mono_terms(alpha, W), dofmap.KIND_EDGE,
+                                 (a, b), v))
+    v = 0
+    for (x, y, third) in ((0, 1, 2), (0, 2, 1)):
+        W = _W(x, y, nv)
+        for alpha in _multi_indices((0, 1, 2), p - 1, nv, min_on=(third,)):
+            fns.append(NDBasisFn(_mono_terms(alpha, W), dofmap.KIND_TRI,
+                                 (0, 1, 2), v))
+            v += 1
     return tuple(fns)
 
 
@@ -296,8 +336,7 @@ class NDSpace:
                             corners[:, a], corners[:, bb],
                             np.zeros(E, np.int64), 1, variant=v))
                 if p >= 2:
-                    nface = {2: 2, 3: 6}[p]
-                    for v in range(nface):
+                    for v in range(p * (p - 1)):
                         keys.append(dofmap.tri_keys(
                             corners, np.zeros((E, 3), np.int64), variant=v))
             k = np.concatenate(keys)

@@ -50,8 +50,8 @@ def test_sharded_cg_invariance(nd_setup):
         sop = ShardedOperator(op, mesh)
         x, rn = sharded_cg(sop, b, diag, jnp.asarray(ess), iters=30)
         sols.append(np.asarray(x))
-    np.testing.assert_allclose(sols[1], sols[0], rtol=1e-10, atol=1e-12)
-    np.testing.assert_allclose(sols[2], sols[0], rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(sols[1], sols[0], rtol=1e-7, atol=1e-10)
+    np.testing.assert_allclose(sols[2], sols[0], rtol=1e-7, atol=1e-10)
 
 
 def test_dryrun_multichip():
