@@ -33,9 +33,10 @@ def main():
     from palace_tpu.ops.partial import _apply_jit
 
     platform = jax.devices()[0].platform
-    # ~26^3x6 = 105k tets at p=2 -> 20 dofs/elem, ~0.2 GB of f32 tables.
-    n = 26 if platform == "tpu" else 8
-    order = 2
+    # ~16^3x6 = 25k tets at p=3 -> 45 dofs/elem, ~0.2 GB of f32 tables
+    # (BASELINE north star: curl-curl apply at p=3-4).
+    n = 16 if platform == "tpu" else 6
+    order = 3
     mesh = box_tet(n, n, n)
     canonicalize_simplices(mesh)
     space = NDSpace(mesh, order)
