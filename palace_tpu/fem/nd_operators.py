@@ -46,11 +46,17 @@ def nd_operator(
     dtype=jnp.float64,
     qorder: Optional[int] = None,
     shift: float = 0.0,
+    mode: str = "element",
 ) -> PAOperator:
     """(nu curl u, curl v) + (eps u, v) on an ND space.
 
     `shift` scales the mass term (for K + shift*M preconditioner matrices,
     reference: palace/models/spaceoperator.hpp:49-50).
+
+    mode="element": dense per-element matrices (one batched matmul apply).
+    mode="qdata": quadrature-point partial assembly with shared basis tables
+    (the libCEED-style path: ~10x less memory traffic per apply at p >= 3,
+    reference: palace/fem/libceed/operator.cpp matrix-free apply).
     """
     mesh = space.mesh
     sdim = mesh.nodes.shape[1]
@@ -62,6 +68,29 @@ def nd_operator(
         gf = geometry.compute(mesh.nodes, b, q)
         V, C = space.basis_tables(b.geom, gf.qpts)  # (nq, nd, dim), (nq, nd, dc)
         E = b.num_elem
+        if mode == "qdata":
+            bt = BucketTables(gidx=ed, signs=sg)
+            if mass_coef is not None:
+                Cm = _per_elem_tensor(mass_coef, b.attr, sdim)
+                if shift != 0.0:
+                    Cm = Cm * shift
+                Wm = _planar_sandwich(gf.Jinvp, Cm, gf.Jinvp, gf.wdetJ)
+                bt.G2 = V
+                bt.qd_diff2 = np.ascontiguousarray(
+                    np.moveaxis(Wm, (0, 1), (2, 3)))
+            if curl_coef is not None:
+                Cc = _per_elem_tensor(curl_coef, b.attr, sdim)
+                if sdim == 3:
+                    JT = gf.Jp.transpose(1, 0, 2, 3)
+                    wsc = gf.w[None, :] / np.abs(gf.detJ)
+                    Wc = _planar_sandwich(JT, Cc, JT, wsc)
+                else:
+                    raise NotImplementedError("qdata mode is 3D-only for now")
+                bt.G = C
+                bt.qd_diff = np.ascontiguousarray(
+                    np.moveaxis(Wc, (0, 1), (2, 3)))
+            buckets.append(bt)
+            continue
         A = None
         if mass_coef is not None:
             Cm = _per_elem_tensor(mass_coef, b.attr, sdim)
@@ -92,7 +121,7 @@ def nd_operator(
             Ac = _assemble(C, Wc)
             A = Ac if A is None else A + Ac
         buckets.append(BucketTables(gidx=ed, A=A, signs=sg))
-    return PAOperator(space.num_dofs, buckets, dtype, mode="element")
+    return PAOperator(space.num_dofs, buckets, dtype, mode=mode)
 
 
 def _assemble(G: np.ndarray, Wp: np.ndarray) -> np.ndarray:

@@ -66,11 +66,14 @@ class BucketTables:
     qd_mass: Optional[jnp.ndarray] = None  # (E, nq)
     qd_diff: Optional[jnp.ndarray] = None  # (E, nq, d, d)
     qd_diffp: Optional[np.ndarray] = None  # (d, d, E, nq) planar layout
+    G2: Optional[jnp.ndarray] = None  # (nq, nd, d2) second basis table
+    qd_diff2: Optional[jnp.ndarray] = None  # (E, nq, d2, d2)
 
 
 def _bucket_arrays(b: BucketTables) -> dict:
     out = {"gidx": jnp.asarray(b.gidx)}
-    for name in ("A", "B", "G", "signs", "qd_mass", "qd_diff"):
+    for name in ("A", "B", "G", "signs", "qd_mass", "qd_diff", "G2",
+                 "qd_diff2"):
         v = getattr(b, name)
         if v is not None:
             out[name] = jnp.asarray(v)
@@ -89,13 +92,14 @@ def _apply_jit(tables, scatter, u, num_dofs):
             vl = jnp.einsum("enm,em->en", t["A"], ul)
         else:
             vl = jnp.zeros_like(ul)
-            if "qd_diff" in t:
-                G = t["G"]
-                nq, _, d = G.shape
-                Gm = G.transpose(0, 2, 1).reshape(nq * d, nd)
-                du = (ul @ Gm.T).reshape(E, nq, d)
-                h = jnp.einsum("eqdk,eqk->eqd", t["qd_diff"], du)
-                vl = vl + (h.reshape(E, nq * d) @ Gm)
+            for gk, qk in (("G", "qd_diff"), ("G2", "qd_diff2")):
+                if qk in t:
+                    G = t[gk]
+                    nq, _, d = G.shape
+                    Gm = G.transpose(0, 2, 1).reshape(nq * d, nd)
+                    du = (ul @ Gm.T).reshape(E, nq, d)
+                    h = jnp.einsum("eqdk,eqk->eqd", t[qk], du)
+                    vl = vl + (h.reshape(E, nq * d) @ Gm)
             if "qd_mass" in t:
                 bu = ul @ t["B"].T
                 vl = vl + (t["qd_mass"] * bu) @ t["B"]
@@ -119,6 +123,7 @@ class PAOperator:
                 if b.A is None:
                     b.A = _assemble_element_matrices(b)
                 b.B = b.G = b.qd_mass = b.qd_diff = b.qd_diffp = None
+                b.G2 = b.qd_diff2 = None
         sc = Scatter.build([b.gidx for b in buckets], num_dofs)
         self._scatter_tree = {
             "perm": jnp.asarray(sc.perm),
@@ -140,6 +145,11 @@ class PAOperator:
                 if b.qd_diff is not None:
                     dl = dl + jnp.einsum(
                         "qnd,eqdk,qnk->en", t["G"], t["qd_diff"], t["G"],
+                        optimize=True,
+                    )
+                if b.qd_diff2 is not None:
+                    dl = dl + jnp.einsum(
+                        "qnd,eqdk,qnk->en", t["G2"], t["qd_diff2"], t["G2"],
                         optimize=True,
                     )
                 if b.qd_mass is not None:
