@@ -31,7 +31,9 @@ def prepare_mesh(iodata: IoData) -> Mesh:
     iodata.set_units_from_mesh(float((bbmax - bbmin).max()))
     mesh.scale_coordinates(iodata.units.mesh_length_scale)
     if iodata.model.refinement.uniform_ref_levels > 0:
-        raise NotImplementedError("uniform mesh refinement not implemented yet")
+        from palace_tpu.mesh.refine import refine_uniform
+
+        mesh = refine_uniform(mesh, iodata.model.refinement.uniform_ref_levels)
     return mesh
 
 
