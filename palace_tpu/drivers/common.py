@@ -34,6 +34,25 @@ def prepare_mesh(iodata: IoData) -> Mesh:
         from palace_tpu.mesh.refine import refine_uniform
 
         mesh = refine_uniform(mesh, iodata.model.refinement.uniform_ref_levels)
+    if iodata.model.crack_bdr_elements:
+        # Decouple the two sides of interior BC sheets (reference:
+        # palace/utils/geodata.cpp CrackInternalBoundaryElements).  Runs
+        # after uniform refinement: refinement's coordinate-keyed node
+        # dedup would re-merge the duplicated (coincident) crack nodes.
+        from palace_tpu.mesh.crack import (crack_attributes,
+                                           crack_internal_boundaries)
+
+        mesh, info = crack_internal_boundaries(mesh, crack_attributes(iodata))
+        if info.n_crack_facets:
+            print_log(iodata,
+                      f"Cracked {info.n_crack_facets} interior boundary "
+                      f"facets (attrs {sorted(info.cracked_attrs)}, "
+                      f"{info.n_dup_nodes} duplicated nodes)")
+        if info.n_interior_seam_edges:
+            print_log(iodata,
+                      f"  WARNING: {info.n_interior_seam_edges} interior "
+                      "seam edges remain coupled (the reference locally "
+                      "bisects these elements; mesh-level difference)")
     return mesh
 
 
