@@ -40,19 +40,42 @@ def prepare_mesh(iodata: IoData) -> Mesh:
         # after uniform refinement: refinement's coordinate-keyed node
         # dedup would re-merge the duplicated (coincident) crack nodes.
         from palace_tpu.mesh.crack import (crack_attributes,
-                                           crack_internal_boundaries)
+                                           crack_internal_boundaries,
+                                           local_edge_split)
 
-        mesh, info = crack_internal_boundaries(mesh, crack_attributes(iodata))
+        attrs = crack_attributes(iodata)
+        n_split = n_its = 0
+        while True:
+            cracked, info = crack_internal_boundaries(mesh, attrs)
+            if (not info.interior_seam_edges
+                    or not iodata.model.refine_crack_elements):
+                break
+            # Interior seam edges (both endpoints on the crack rim) cannot
+            # be decoupled by vertex duplication; bisect the element ring
+            # around each and re-crack (reference: geodata.cpp:2905-3010
+            # refine_crack_elements retry loop / LocalEdgeSplit).
+            try:
+                ne = mesh.num_elements
+                mesh = local_edge_split(mesh, info.interior_seam_edges)
+                n_split += mesh.num_elements - ne
+                n_its += 1
+            except NotImplementedError:
+                break
+        mesh = cracked
         if info.n_crack_facets:
             print_log(iodata,
                       f"Cracked {info.n_crack_facets} interior boundary "
                       f"facets (attrs {sorted(info.cracked_attrs)}, "
                       f"{info.n_dup_nodes} duplicated nodes)")
+        if n_split:
+            print_log(iodata,
+                      f"Added {n_split} elements in {n_its} iterations of "
+                      "local bisection for under-resolved interior "
+                      "boundaries")
         if info.n_interior_seam_edges:
             print_log(iodata,
                       f"  WARNING: {info.n_interior_seam_edges} interior "
-                      "seam edges remain coupled (the reference locally "
-                      "bisects these elements; mesh-level difference)")
+                      "seam edges remain coupled")
     return mesh
 
 

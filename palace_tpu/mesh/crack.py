@@ -52,6 +52,12 @@ class CrackInfo:
     n_dup_nodes: int = 0
     n_crack_facets: int = 0
     n_interior_seam_edges: int = 0
+    # Vertex pairs (original mesh node ids) of edges interior to the crack
+    # whose endpoints are both seam vertices: these stay coupled unless the
+    # surrounding elements are bisected (see local_edge_split).
+    interior_seam_edges: List[Tuple[int, int]] = field(default_factory=list)
+    # Duplicated node id -> original node id (coincident coordinates).
+    dup_to_orig: Dict[int, int] = field(default_factory=dict)
 
 
 def _facet_defs(geom) -> List[Tuple[int, ...]]:
@@ -163,6 +169,7 @@ def crack_internal_boundaries(mesh: Mesh, crack_attrs: Sequence[int]
             next_id += 1
             new_nodes.append(mesh.nodes[n][None])
             info.n_dup_nodes += 1
+            info.dup_to_orig[dup] = n
             for ge in comp:
                 renum.setdefault(ge, {})[n] = dup
 
@@ -181,7 +188,9 @@ def crack_internal_boundaries(mesh: Mesh, crack_attrs: Sequence[int]
                 if v0 in seam_nodes and v1 in seam_nodes:
                     k = (min(v0, v1), max(v0, v1))
                     edge_count[k] = edge_count.get(k, 0) + 1
-    info.n_interior_seam_edges = sum(1 for c in edge_count.values() if c > 1)
+    info.interior_seam_edges = sorted(
+        k for k, c in edge_count.items() if c > 1)
+    info.n_interior_seam_edges = len(info.interior_seam_edges)
 
     # --- apply renumbering to domain conns
     new_buckets = []
@@ -237,6 +246,80 @@ def crack_internal_boundaries(mesh: Mesh, crack_attrs: Sequence[int]
     out = Mesh(np.concatenate(new_nodes), new_buckets, new_bdr,
                mesh.physical_names)
     return out, info
+
+
+def local_edge_split(mesh: Mesh, edges: Sequence[Tuple[int, int]]) -> Mesh:
+    """Bisect the ring of elements around each given edge (vertex pair).
+
+    The purely local conforming edge-fan split used by the reference to
+    resolve crack seam edges (reference: palace/utils/geodata.cpp:3110-3126
+    LocalEdgeSplit, mesh.cpp): each element containing both endpoints is
+    replaced by two children sharing the edge midpoint; boundary facets
+    containing the edge split likewise.  Sequentially conforming: no global
+    closure is needed because only faces containing the split edge change,
+    and they change identically in every adjacent element.
+
+    Simplex (tet/tri domain) straight-sided meshes only — matching the
+    reference, which converts to simplices before crack refinement
+    (geodata.cpp:3055-3060).
+    """
+    for b in mesh.buckets:
+        if b.geom not in (ref.Geom.TET, ref.Geom.TRI) or b.geo_order != 1:
+            raise NotImplementedError(
+                "local_edge_split requires a straight-sided simplex mesh")
+
+    nodes: List[np.ndarray] = [mesh.nodes]
+    next_id = mesh.nodes.shape[0]
+
+    def explode(buckets):
+        """Per-bucket dict stores + node incidence."""
+        stores = []
+        for b in buckets:
+            rows = {e: b.conn[e].astype(np.int64) for e in range(b.num_elem)}
+            attrs = {e: int(b.attr[e]) for e in range(b.num_elem)}
+            incid: Dict[int, Set[int]] = {}
+            for e, row in rows.items():
+                for v in row:
+                    incid.setdefault(int(v), set()).add(e)
+            stores.append([b, rows, attrs, incid, b.num_elem])
+        return stores
+
+    dom = explode(mesh.buckets)
+    bdr = explode([b for b in mesh.bdr_buckets])
+
+    for (a, c) in edges:
+        mid = next_id
+        next_id += 1
+        nodes.append(0.5 * (mesh.nodes[a] + mesh.nodes[c])[None])
+        for store in dom + bdr:
+            _, rows, attrs, incid, _ = store
+            ring = incid.get(a, set()) & incid.get(c, set())
+            for eid in sorted(ring):
+                row = rows.pop(eid)
+                at = attrs.pop(eid)
+                for v in row:
+                    incid[int(v)].discard(eid)
+                for old in (a, c):
+                    child = row.copy()
+                    child[child == old] = mid
+                    cid = store[4]
+                    store[4] += 1
+                    rows[cid] = child
+                    attrs[cid] = at
+                    for v in child:
+                        incid.setdefault(int(v), set()).add(cid)
+
+    def collect(stores):
+        out = []
+        for b, rows, attrs, _, _ in stores:
+            keys = sorted(rows)
+            conn = np.array([rows[k] for k in keys], np.int32)
+            attr = np.array([attrs[k] for k in keys], np.int32)
+            out.append(ElemBucket(b.etype, b.geom, b.geo_order, conn, attr))
+        return out
+
+    return Mesh(np.concatenate(nodes), collect(dom), collect(bdr),
+                mesh.physical_names)
 
 
 def bc_attributes(iodata) -> List[int]:

@@ -260,8 +260,20 @@ def canonicalize_simplices(mesh: Mesh):
 
 
 def load_mesh(path: str) -> Mesh:
-    """Load a mesh file (Gmsh MSH 2.2)."""
-    raw = gmshio.read(path)
+    """Load a mesh file: Gmsh MSH 2.2, COMSOL .mphtxt/.mphbin, or Nastran
+    .nas/.bdf (reference: palace/utils/geodata.cpp:2048-2066 converts the
+    latter two through an in-memory Gmsh file)."""
+    low = path.lower()
+    if low.endswith((".mphtxt", ".mphbin")):
+        from palace_tpu.mesh.convert import read_comsol
+
+        raw = read_comsol(path)
+    elif low.endswith((".nas", ".bdf")):
+        from palace_tpu.mesh.convert import read_nastran
+
+        raw = read_nastran(path)
+    else:
+        raw = gmshio.read(path)
     max_dim = max(
         gmshio.GMSH_DIM[et]
         for et in raw.elements

@@ -31,9 +31,10 @@ ETA0 = 376.730313412
 L = 10.0  # mm box edge
 
 
-def add_x_sheet(mesh: Mesh, x0: float, attr: int, zmax: float = None) -> Mesh:
+def add_x_sheet(mesh: Mesh, x0: float, attr: int, zmax: float = None,
+                zmin: float = None) -> Mesh:
     """Add interior TRI boundary facets on the plane x = x0 (optionally only
-    where max(z of facet) <= zmax, leaving a seam strip above)."""
+    where the facet's z range lies in [zmin, zmax], leaving seam strips)."""
     tris = set()
     b = mesh.buckets[0]
     x = mesh.nodes[:, 0]
@@ -42,7 +43,9 @@ def add_x_sheet(mesh: Mesh, x0: float, attr: int, zmax: float = None) -> Mesh:
         for f in ref.GEOM_FACES[ref.Geom.TET]:
             tri = tuple(sorted(int(row[i]) for i in f))
             if all(abs(x[v] - x0) < 1e-9 for v in tri):
-                if zmax is None or max(z[v] for v in tri) <= zmax + 1e-9:
+                if ((zmax is None or max(z[v] for v in tri) <= zmax + 1e-9)
+                        and (zmin is None
+                             or min(z[v] for v in tri) >= zmin - 1e-9)):
                     tris.add(tri)
     conn = np.array(sorted(tris), np.int32)
     bdr = list(mesh.bdr_buckets)
@@ -115,6 +118,35 @@ def test_crack_topology_decoupling_and_seam():
     # Duplicated nodes all on the sheet plane, never on the z = L/2 rim line.
     assert np.allclose(dup0[:, 0], L / 2)
     assert (dup0[:, 2] < L / 2 - 1e-9).all()
+
+
+def test_local_edge_split_resolves_seam_edges():
+    """A one-element-wide interior strip has crack edges connecting its two
+    rims (interior seam edges); the edge-fan bisection plus re-crack loop
+    must decouple them while preserving volume and conformity."""
+    from palace_tpu.mesh import geometry
+    from palace_tpu.mesh.crack import (crack_internal_boundaries,
+                                       local_edge_split)
+
+    mesh = add_x_sheet(box_tet(4, 4, 4, lx=L, ly=L, lz=L), L / 2, 9,
+                       zmin=L / 4, zmax=L / 2)
+
+    def vol(m):
+        return sum(float(geometry.compute(m.nodes, b, 2).wdetJ.sum())
+                   for b in m.buckets)
+
+    v0 = vol(mesh)
+    _, info = crack_internal_boundaries(mesh, [9])
+    assert info.n_interior_seam_edges > 0
+    for _ in range(5):
+        mesh = local_edge_split(mesh, info.interior_seam_edges)
+        cracked, info = crack_internal_boundaries(mesh, [9])
+        if not info.interior_seam_edges:
+            break
+    assert info.n_interior_seam_edges == 0
+    assert vol(cracked) == pytest.approx(v0, rel=1e-12)
+    _, _, counts = cracked.face_table()
+    assert counts.max() <= 2  # conforming: no face with >2 owners
 
 
 def test_crack_pec_sheet_neutral(tmp_path):
