@@ -327,7 +327,8 @@ def sweep_uniform(iodata, sop: SpaceOperator, omegas, excitations, skip=0
         if not todo:
             continue
         A = sop.system_csr(omega, K, C, M)
-        for A2 in (sop.waveport_a2_csr(omega), sop.abc2_a2_csr(omega)):
+        for A2 in (sop.waveport_a2_csr(omega), sop.abc2_a2_csr(omega),
+                   sop.conductivity_a2_csr(omega)):
             if A2 is not None:
                 A = (A + A2).tocsr()
         lu = splu_nd(A, coords)
@@ -383,7 +384,10 @@ def write_farfield_table(iodata, sop, post_dir, freqs_ghz, excitations, meas,
                          grid):
     """farfield-rE.csv (reference: postoperatorcsv.cpp farfield table)."""
     units = iodata.units
-    V = units.scale_factor(ValueType.VOLTAGE)
+    # The reference scales the nondimensional r*E by 1/FIELD_E for output
+    # (postoperatorcsv.cpp:131-132 applies Nondimensionalize<FIELD_E> in
+    # the dimensionalization pass); match its committed data convention.
+    V = 1.0 / units.scale_factor(ValueType.FIELD_E)
     t = Table()
     fc = t.add(Column("f", "f (GHz)", min_left_padding=0, precision=8, sign=""))
     ec = t.add(Column("exc", "exc", min_left_padding=8, print_as_int=True))
@@ -392,8 +396,11 @@ def write_farfield_table(iodata, sop, post_dir, freqs_ghz, excitations, meas,
     for d in ("x", "y", "z"):
         t.add(Column(f"re{d}", f"r*Re{{E_{d}}} (V)"))
         t.add(Column(f"im{d}", f"r*Im{{E_{d}}} (V)"))
-    for i, f in enumerate(freqs_ghz):
-        for ex in excitations:
+    # Reference row order: all frequencies for one excitation, then the
+    # next excitation (postoperatorcsv.cpp appends the full sweep per
+    # excitation block).
+    for ex in excitations:
+        for i, f in enumerate(freqs_ghz):
             rE = meas[(ex, i)].farfield
             for p in range(len(grid)):
                 fc.data.append(f)

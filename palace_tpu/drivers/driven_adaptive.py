@@ -44,6 +44,10 @@ def sweep_adaptive(iodata, sop: SpaceOperator, omegas, excitations
         raise NotImplementedError(
             "adaptive PROM with wave ports (per-port factored reduced "
             "operators, reference: romoperator.hpp:177-187) lands next round")
+    if sop._conductivity:
+        raise NotImplementedError(
+            "adaptive PROM with frequency-dependent conductivity boundaries "
+            "is not supported; use a uniform sweep")
     cfg = iodata.solver.driven
     tol = cfg.adaptive_tol
     max_size = max(cfg.adaptive_max_size, 4)

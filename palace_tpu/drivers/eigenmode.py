@@ -37,6 +37,10 @@ def solve(iodata: IoData, output_dir: str | None = None):
     units = iodata.units
 
     sop = SpaceOperator(iodata, mesh)
+    if sop._conductivity:
+        raise NotImplementedError(
+            "conductivity boundaries make the eigenproblem nonlinear in "
+            "omega (reference rejects this for non-PEP solvers too)")
     space = sop.space
     print_log(iodata, f"eigenmode: {space.num_dofs} dofs, "
                       f"{mesh.num_elements} elements")

@@ -136,6 +136,10 @@ def solve(iodata: IoData, output_dir: str | None = None):
     cfg = iodata.solver.transient
 
     sop = SpaceOperator(iodata, mesh)
+    if sop._conductivity:
+        raise NotImplementedError(
+            "transient solves do not support surface conductivity "
+            "boundaries (reference: iodata.cpp:362-366)")
     print_log(iodata, f"transient: {sop.space.num_dofs} dofs, "
                       f"{mesh.num_elements} elements")
 

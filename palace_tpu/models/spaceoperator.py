@@ -179,6 +179,24 @@ class SpaceOperator:
             if abs(Cs) > 0:
                 add(self.M_bdr, imp.attributes, Cs)
 
+        # Finite-conductivity (skin-depth) boundaries: frequency-dependent
+        # surface impedance Z(w) = (1+i)/(sigma delta), delta the skin depth,
+        # with the finite-thickness correction; contributes iw/Z times a
+        # boundary mass to A2(w) (reference:
+        # surfaceconductivityoperator.cpp:148-175).
+        self._conductivity: List[tuple] = []
+        for cd in iod.boundaries.conductivities:
+            sigma = cd.sigma / units.scale_factor(ValueType.CONDUCTIVITY)
+            h = cd.h / units.mesh_length_scale
+            if cd.external:
+                # External surfaces see twice the effective thickness (the
+                # BC is applied on one side only).
+                h *= 2.0
+            tr = boundary_trace(mesh, cd.attributes, self.bdr_qorder)
+            tb = nd_trace_basis(self.space, tr)
+            bk = boundary_mass_bucket(tb, np.ones(len(tr.elem)))
+            self._conductivity.append((bk, sigma, cd.mu_r, h))
+
         ab = iod.boundaries.absorbing
         self._abc2_tb = None
         if ab is not None and ab.attributes:
@@ -315,6 +333,30 @@ class SpaceOperator:
         bk = boundary_curl_bucket(tb, coef)
         A2 = self._csr([(np.asarray(bk.gidx),
                          1j * (0.5 / omega) * np.asarray(bk.A))])
+        free = sp.diags((~self.ess_mask).astype(float))
+        return (free @ A2 @ free).tocsr()
+
+    def conductivity_a2_csr(self, omega: float) -> Optional[sp.csr_matrix]:
+        """Finite-conductivity surface impedance contribution to A2(w):
+        i w / Z(w) boundary mass with Z = (1+i)/(sigma delta),
+        delta = sqrt(2/(mu sigma w)), and the finite-thickness factors
+        (sinh v +/- sin v)/(cosh v - cos v), v = h/delta (reference:
+        surfaceconductivityoperator.cpp:148-175, after the Ansys HFSS
+        finite-thickness surface impedance model)."""
+        if not self._conductivity:
+            return None
+        tables = []
+        for bk, sigma, mu, h in self._conductivity:
+            delta = math.sqrt(2.0 / (mu * sigma * omega))
+            zre = zim = 1.0 / (sigma * delta)
+            if h > 0.0:
+                nu = h / delta
+                den = math.cosh(nu) - math.cos(nu)
+                zre *= (math.sinh(nu) + math.sin(nu)) / den
+                zim *= (math.sinh(nu) - math.sin(nu)) / den
+            s = 1j * omega / complex(zre, zim)
+            tables.append((np.asarray(bk.gidx), s * np.asarray(bk.A)))
+        A2 = self._csr(tables)
         free = sp.diags((~self.ess_mask).astype(float))
         return (free @ A2 @ free).tocsr()
 
