@@ -117,7 +117,19 @@ class SpaceOperator:
 
     def _build_domain(self):
         m = self.materials
-        self.K_dom = nd_operator(self.space, curl_coef=m.inv_permeability)
+        # London superconductors add a lambda_L^-2 mu^-1 value term to the
+        # stiffness (reference: spaceoperator.cpp:948-961 / Meissner kinetic
+        # inductance, materialoperator.cpp:333-349).
+        mls = self.iodata.units.mesh_length_scale
+        london = None
+        if any(abs(l) > 0 for l in m.london_depth.values()):
+            london = {
+                a: (m.inv_permeability[a] / (l / mls) ** 2 if abs(l) > 0
+                    else 0.0 * m.inv_permeability[a])
+                for a, l in m.london_depth.items()
+            }
+        self.K_dom = nd_operator(self.space, curl_coef=m.inv_permeability,
+                                 mass_coef=london)
         lossy = any(np.any(t != 0.0) for t in m.loss_tan.values())
         eps = m.complex_permittivity() if lossy else {
             a: t.astype(complex) for a, t in m.permittivity.items()
