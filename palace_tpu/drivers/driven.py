@@ -294,7 +294,19 @@ def solve(iodata: IoData, output_dir: str | None = None):
                     pv.save(f, {"E_real": np.real(Ev), "E_imag": np.imag(Ev),
                                 "B_real": np.real(Bv), "B_imag": np.imag(Bv)})
                 pv.finalize()
-        write_error_indicators(post_dir, [np.zeros(mesh.num_elements)])
+        # Curl-flux error indicators accumulated over the sweep samples
+        # (reference: drivensolver.cpp estimator per solve).
+        from palace_tpu.fem.estimators import curl_flux_indicators
+
+        eta2_steps, energies = [], []
+        for (ex, i), E in sols.items():
+            eta2_steps.append(curl_flux_indicators(sop.space, sop.materials,
+                                                   np.asarray(E)))
+            mm = measurements.get((ex, i))
+            et = (mm.E_elec + mm.E_mag) if mm is not None and hasattr(
+                mm, "E_elec") and mm.E_elec is not None else None
+            energies.append(et)
+        write_error_indicators(post_dir, eta2_steps, energies)
     metadata.save_problem(post_dir, "Driven", mesh.num_elements,
                           sop.space.num_dofs)
     metadata.save_excitations(post_dir, excitations)

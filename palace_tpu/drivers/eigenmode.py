@@ -36,47 +36,70 @@ def solve(iodata: IoData, output_dir: str | None = None):
     post_dir = make_output_dir(iodata, output_dir)
     units = iodata.units
 
-    sop = SpaceOperator(iodata, mesh)
-    if sop._conductivity:
-        raise NotImplementedError(
-            "conductivity boundaries make the eigenproblem nonlinear in "
-            "omega (reference rejects this for non-PEP solvers too)")
-    space = sop.space
-    print_log(iodata, f"eigenmode: {space.num_dofs} dofs, "
-                      f"{mesh.num_elements} elements")
-
-    Kcsr = sop.stiffness_csr()
-    Ccsr = sop.damping_csr()
-    Mcsr = sop.mass_csr()
-    ess = np.where(sop.ess_mask)[0]
-
     cfg = iodata.solver.eigenmode
-    f_t = units.nondimensionalize(ValueType.FREQUENCY, cfg.target)
-    omega_t = 2 * np.pi * f_t
-    nev = max(cfg.n, 1)
-    if Ccsr is not None and abs(Ccsr).max() > 0:
-        result = quadratic_eigs(Kcsr, Ccsr, Mcsr, ess, 1j * omega_t,
-                                2 * nev + 8, tol=cfg.tol)
-        lam = result.eigenvalues
-        omega = -1j * lam  # lam = i omega
-    else:
-        # Request extra vectors: the gradient-nullspace cluster at
-        # lambda = 0 is filtered below.
-        result = shift_invert_eigs(Kcsr, Mcsr, ess, omega_t ** 2,
-                                   2 * nev + 8, tol=cfg.tol)
-        lam = result.eigenvalues.astype(complex)
-        omega = np.sqrt(lam)
 
-    # Drop the gradient-nullspace cluster near omega = 0 (the role of the
-    # div-free projection, reference: palace/linalg/divfree.hpp:29-34),
-    # sort ascending Re(omega), keep n.
-    keep = (np.real(omega) > max(1e-8, 1e-3 * abs(omega_t)))
-    omega = omega[keep]
-    order = np.argsort(np.real(omega))[: cfg.n]
-    vecs = result.eigenvectors[:, keep][:, order]
-    res = result.residuals[keep][order]
-    bkwd = result.backward_errors[keep][order]
-    omega = omega[order]
+    def solve_and_estimate(m):
+        sop = SpaceOperator(iodata, m)
+        if sop._conductivity:
+            raise NotImplementedError(
+                "conductivity boundaries make the eigenproblem nonlinear in "
+                "omega (reference rejects this for non-PEP solvers too)")
+        space = sop.space
+        print_log(iodata, f"eigenmode: {space.num_dofs} dofs, "
+                          f"{m.num_elements} elements")
+
+        Kcsr = sop.stiffness_csr()
+        Ccsr = sop.damping_csr()
+        Mcsr = sop.mass_csr()
+        ess = np.where(sop.ess_mask)[0]
+
+        f_t = units.nondimensionalize(ValueType.FREQUENCY, cfg.target)
+        omega_t = 2 * np.pi * f_t
+        nev = max(cfg.n, 1)
+        if Ccsr is not None and abs(Ccsr).max() > 0:
+            result = quadratic_eigs(Kcsr, Ccsr, Mcsr, ess, 1j * omega_t,
+                                    2 * nev + 8, tol=cfg.tol)
+            lam = result.eigenvalues
+            omega = -1j * lam  # lam = i omega
+        else:
+            # Request extra vectors: the gradient-nullspace cluster at
+            # lambda = 0 is filtered below.
+            result = shift_invert_eigs(Kcsr, Mcsr, ess, omega_t ** 2,
+                                       2 * nev + 8, tol=cfg.tol)
+            lam = result.eigenvalues.astype(complex)
+            omega = np.sqrt(lam)
+
+        # Drop the gradient-nullspace cluster near omega = 0 (the role of
+        # the div-free projection, reference: palace/linalg/divfree.hpp),
+        # sort ascending Re(omega), keep n.
+        keep = (np.real(omega) > max(1e-8, 1e-3 * abs(omega_t)))
+        omega = omega[keep]
+        order = np.argsort(np.real(omega))[: cfg.n]
+        vecs = result.eigenvectors[:, keep][:, order]
+        res = result.residuals[keep][order]
+        bkwd = result.backward_errors[keep][order]
+        omega = omega[order]
+        # Curl-flux error indicators per mode, normalized by the mode
+        # energy (unit M-norm: E_elec = 1/4 -> total E = 1/2).
+        from palace_tpu.fem.estimators import curl_flux_indicators
+
+        eta2, energies = [], []
+        for i in range(len(omega)):
+            x = vecs[:, i]
+            mnorm2 = abs(np.real(np.conj(x) @ (Mcsr @ x)))
+            x = x / math.sqrt(mnorm2)
+            vecs[:, i] = x
+            eta2.append(curl_flux_indicators(space, sop.materials, x))
+            energies.append(0.5)
+        return ((sop, Kcsr, Ccsr, Mcsr, omega, vecs, res, bkwd),
+                eta2, energies, space.num_dofs)
+
+    from palace_tpu.drivers.amr import adapt_loop
+
+    ((sop, Kcsr, Ccsr, Mcsr, omega, vecs, res, bkwd),
+     eta_elem, eta_norm, mesh, n_adapt) = adapt_loop(iodata, mesh,
+                                                     solve_and_estimate)
+    space = sop.space
 
     ghz = units.scale_factor(ValueType.FREQUENCY)
     f = omega / (2 * np.pi) * ghz
@@ -122,7 +145,7 @@ def solve(iodata: IoData, output_dir: str | None = None):
                     {"E_real": np.real(Ev), "E_imag": np.imag(Ev)})
         pv.finalize()
 
-    write_error_indicators(post_dir, [np.zeros(mesh.num_elements)])
+    write_error_indicators(post_dir, [eta_elem**2], [None])
     from palace_tpu.post import metadata
     metadata.save_problem(post_dir, "Eigenmode", mesh.num_elements,
                           space.num_dofs)

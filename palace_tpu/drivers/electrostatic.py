@@ -35,22 +35,34 @@ def solve(iodata: IoData, output_dir: str | None = None):
     mesh = prepare_mesh(iodata)
     post_dir = make_output_dir(iodata, output_dir)
     units = iodata.units
+    from palace_tpu.drivers.amr import adapt_loop
+    from palace_tpu.drivers.common import domain_energies
 
-    lap = LaplaceOperator.build(iodata, mesh)
+    def solve_and_estimate(m):
+        lap = LaplaceOperator.build(iodata, m)
+        space = lap.space
+        print_log(iodata, f"electrostatic: {space.num_dofs} dofs, "
+                          f"{m.num_elements} elements")
+        terminals = sorted(lap.terminals.keys())
+        V: Dict[int, np.ndarray] = {}
+        its = []
+        for idx in terminals:
+            xbc, b = lap.excitation(idx)
+            x, it = solve_spd(iodata, lap.Keli, lap.K, b, lap.ess_mask)
+            its.append(it)
+            V[idx] = np.asarray(x)
+            print_log(iodata, f"  terminal {idx}: {it} CG iterations")
+        eta2 = [compute_error_indicator_h1(iodata, space, lap.materials,
+                                           V[i]) for i in terminals]
+        en = [domain_energies(iodata, lap.K, space, V[i])[0]
+              for i in terminals]
+        return (lap, V, its), eta2, en, space.num_dofs
+
+    (lap, V, its), eta_elem, eta_norm, mesh, n_adapt = adapt_loop(
+        iodata, mesh, solve_and_estimate)
     space = lap.space
-    print_log(iodata, f"electrostatic: {space.num_dofs} dofs, "
-                      f"{mesh.num_elements} elements")
-
     terminals = sorted(lap.terminals.keys())
     n = len(terminals)
-    V: Dict[int, np.ndarray] = {}
-    its = []
-    for idx in terminals:
-        xbc, b = lap.excitation(idx)
-        x, it = solve_spd(iodata, lap.Keli, lap.K, b, lap.ess_mask)
-        its.append(it)
-        V[idx] = np.asarray(x)
-        print_log(iodata, f"  terminal {idx}: {it} CG iterations")
 
     # Capacitance matrix C_ij = V_j^T K V_i (unit voltages).
     KV = {i: np.asarray(lap.K(jnp.asarray(V[i]))) for i in terminals}
@@ -97,13 +109,7 @@ def solve(iodata: IoData, output_dir: str | None = None):
                               kind="electric")
     write_probe_table(iodata, post_dir, space, steps, field="E", negate=True)
     write_surface_flux_table(iodata, post_dir, space, lap.materials, steps)
-    from palace_tpu.drivers.common import domain_energies
-
-    indicators = [
-        compute_error_indicator_h1(iodata, space, lap.materials, v) for _, v in steps
-    ]
-    energies = [domain_energies(iodata, lap.K, space, v)[0] for _, v in steps]
-    write_error_indicators(post_dir, indicators, energies)
+    write_error_indicators(post_dir, [eta_elem**2], [None])
 
     print_log(iodata, f"electrostatic done in {time.time() - t0:.1f}s")
     from palace_tpu.post import metadata as _metadata

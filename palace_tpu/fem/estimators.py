@@ -1,0 +1,129 @@
+"""Flux-recovery error estimation for H(curl) fields.
+
+Curl-flux (ZZ-style) estimator: the discontinuous magnetic flux
+F = mu^-1 curl E is L2-projected onto a smooth space (the ND space in 3D,
+scalar H1 in 2D where curl is out-of-plane); the per-element energy-norm
+mismatch
+
+    eta_K^2 = int_K (curl E - mu F_hat)^T mu^-1 (curl E - mu F_hat)
+
+estimates the local discretization error (reference:
+palace/linalg/errorestimator.cpp CurlFluxErrorEstimator, which measures
+|sqrt(mu^-1) B - sqrt(mu) H_smooth|^2 with an RT-space B; here B = curl of
+the ND solution directly, avoiding the RT space as everywhere in this
+framework).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from palace_tpu.fem.nd import NDSpace
+from palace_tpu.fem.nd_operators import nd_operator
+from palace_tpu.fem.operators import default_qorder
+from palace_tpu.linalg.iterative import cg
+from palace_tpu.linalg.smoothers import jacobi
+from palace_tpu.mesh import geometry as geom_mod
+
+
+def _solver(op):
+    prec = jacobi(op.diagonal())
+
+    def solve(v):
+        res = cg(op, jnp.asarray(v), M=prec, tol=1e-10, max_its=800)
+        return np.asarray(res.x)
+
+    return solve
+
+
+def curl_flux_indicators(space: NDSpace, materials, E: np.ndarray
+                         ) -> np.ndarray:
+    """Squared, un-normalized per-element indicators for an ND field E
+    (complex supported: real and imaginary parts both contribute)."""
+    mesh = space.mesh
+    sdim = mesh.nodes.shape[1]
+    signs_list = getattr(space, "elem_signs", [None] * len(mesh.buckets))
+    E = np.asarray(E)
+    cplx = np.iscomplexobj(E)
+    ftype = np.complex128 if cplx else np.float64
+
+    # Per-bucket raw flux at quadrature points.
+    per_bucket = []
+    for bi, b in enumerate(mesh.buckets):
+        q = default_qorder(space.order, b.geo_order, b.geom)
+        gf = geom_mod.compute(mesh.nodes, b, q)
+        V, C = space.basis_tables(b.geom, gf.qpts)
+        ue = E[space.elem_dofs[bi]]
+        if signs_list[bi] is not None:
+            ue = ue * signs_list[bi]
+        muinv = materials.attr_tensor(materials.inv_permeability, b.attr)
+        if sdim == 2:
+            curl = np.einsum("qn,en->eq", C[..., 0], ue) / gf.detJ
+        else:
+            curl_ref = np.einsum("qnc,en->eqc", C, ue)
+            curl = np.einsum("sreq,eqr->eqs", gf.Jp,
+                             curl_ref) / gf.detJ[..., None]
+        per_bucket.append((gf, V, C, muinv, curl, bi))
+
+    num_elem = sum(b.num_elem for b in mesh.buckets)
+    eta2 = np.zeros(num_elem)
+    ofs = 0
+
+    if sdim == 2:
+        # Out-of-plane scalar flux mu^-1_zz curl E projected onto scalar H1.
+        from palace_tpu.fem.h1 import H1Space
+        from palace_tpu.fem.operators import h1_operator
+
+        h1 = H1Space(mesh, space.order)
+        Mh = h1_operator(h1, mass_coef={int(a): np.eye(3)
+                                        for a in mesh.attributes()})
+        bh = np.zeros(h1.num_dofs, ftype)
+        for (gf, V, C, muinv, curl, bi) in per_bucket:
+            B = h1.basis(mesh.buckets[bi].geom).eval(gf.qpts)
+            flux = curl * muinv[:, 2:3, 2]
+            c = np.einsum("qn,eq,eq->en", B, flux, gf.wdetJ)
+            np.add.at(bh, h1.elem_dofs[bi].ravel(), c.ravel())
+        hsolve = _solver(Mh)
+        w = hsolve(bh.real) + (1j * hsolve(bh.imag) if cplx else 0.0)
+        for (gf, V, C, muinv, curl, bi) in per_bucket:
+            b = mesh.buckets[bi]
+            B = h1.basis(b.geom).eval(gf.qpts)
+            wq = np.einsum("qn,en->eq", B, w[h1.elem_dofs[bi]])
+            mu_zz = 1.0 / muinv[:, 2, 2]
+            diff = curl - mu_zz[:, None] * wq
+            eta2[ofs:ofs + b.num_elem] = np.einsum(
+                "eq,eq,eq->e", np.abs(diff) ** 2,
+                np.broadcast_to(muinv[:, 2:3, 2], diff.shape), gf.wdetJ)
+            ofs += b.num_elem
+        return eta2
+
+    # 3D: project F = mu^-1 curl E onto the ND space (one vector rhs; the
+    # test functions transform covariantly, v_phys = J^-T v_ref).
+    Mop = nd_operator(space, mass_coef={int(a): np.eye(3)
+                                        for a in mesh.attributes()})
+    b_vec = np.zeros(space.num_dofs, ftype)
+    for (gf, V, C, muinv, curl, bi) in per_bucket:
+        flux = np.einsum("est,eqt->eqs", muinv[:, :sdim, :sdim], curl)
+        vphys = np.einsum("eqrs,qnr->eqns", gf.Jinv, V)
+        c = np.einsum("eqns,eqs,eq->en", vphys, flux, gf.wdetJ)
+        if signs_list[bi] is not None:
+            c = c * signs_list[bi]
+        np.add.at(b_vec, space.elem_dofs[bi].ravel(), c.ravel())
+    msolve = _solver(Mop)
+    w = msolve(b_vec.real) + (1j * msolve(b_vec.imag) if cplx else 0.0)
+
+    for (gf, V, C, muinv, curl, bi) in per_bucket:
+        b = mesh.buckets[bi]
+        we = w[space.elem_dofs[bi]]
+        if signs_list[bi] is not None:
+            we = we * signs_list[bi]
+        vphys = np.einsum("eqrs,qnr->eqns", gf.Jinv, V)
+        wq = np.einsum("eqns,en->eqs", vphys, we)
+        mu = np.linalg.inv(muinv[:, :sdim, :sdim])
+        diff = curl - np.einsum("est,eqt->eqs", mu, wq)
+        mid = np.einsum("est,eqt->eqs", muinv[:, :sdim, :sdim], diff)
+        eta2[ofs:ofs + b.num_elem] = np.real(
+            np.einsum("eqs,eqs,eq->e", np.conj(diff), mid, gf.wdetJ))
+        ofs += b.num_elem
+    return eta2
