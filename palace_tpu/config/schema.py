@@ -782,6 +782,7 @@ class MagnetostaticSolverConfig:
 @dataclass
 class EigenSolverConfig:
     target: float = 0.0  # [GHz]
+    target_upper: float = -1.0  # [GHz]; default 3 * target
     tol: float = 1.0e-6
     max_it: int = -1
     max_size: int = -1
@@ -906,6 +907,7 @@ class SolverConfig:
         if em is not None:
             out.eigenmode = EigenSolverConfig(
                 target=float(em.get_value("Target", 0.0)),
+                target_upper=float(em.get_value("TargetUpper", -1.0)),
                 tol=float(em.get_value("Tol", 1.0e-6)),
                 max_it=int(em.get_value("MaxIts", -1)),
                 max_size=int(em.get_value("MaxSize", -1)),

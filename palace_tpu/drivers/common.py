@@ -76,6 +76,17 @@ def prepare_mesh(iodata: IoData) -> Mesh:
             print_log(iodata,
                       f"  WARNING: {info.n_interior_seam_edges} interior "
                       "seam edges remain coupled")
+    if iodata.boundaries.periodic:
+        kv = iodata.boundaries.floquet_wave_vector
+        if kv is not None and any(abs(k) > 0 for k in kv):
+            raise NotImplementedError(
+                "Floquet phase (nonzero FloquetWaveVector) is not supported "
+                "yet; plain periodic boundaries are")
+        from palace_tpu.mesh.periodic import apply_periodic
+
+        n = apply_periodic(mesh, iodata.boundaries.periodic,
+                           iodata.units.mesh_length_scale)
+        print_log(iodata, f"Periodic boundaries: identified {n} node pairs")
     return mesh
 
 

@@ -56,29 +56,136 @@ def solve(iodata: IoData, output_dir: str | None = None):
         f_t = units.nondimensionalize(ValueType.FREQUENCY, cfg.target)
         omega_t = 2 * np.pi * f_t
         nev = max(cfg.n, 1)
-        if Ccsr is not None and abs(Ccsr).max() > 0:
-            result = quadratic_eigs(Kcsr, Ccsr, Mcsr, ess, 1j * omega_t,
-                                    2 * nev + 8, tol=cfg.tol)
-            lam = result.eigenvalues
-            omega = -1j * lam  # lam = i omega
-        else:
-            # Request extra vectors: the gradient-nullspace cluster at
-            # lambda = 0 is filtered below.
-            result = shift_invert_eigs(Kcsr, Mcsr, ess, omega_t ** 2,
-                                       2 * nev + 8, tol=cfg.tol)
-            lam = result.eigenvalues.astype(complex)
-            omega = np.sqrt(lam)
+
+        # Frequency-dependent boundary terms (wave ports, second-order
+        # absorbing) make the EVP nonlinear in omega.  Like the reference's
+        # HYBRID solver (eigensolver.cpp:44-71, nleps.cpp
+        # NewtonInterpolationOperator), interpolate A2(lam) with a
+        # quadratic Newton polynomial on [i w_target, i w_upper] in
+        # monomial form A2 ~ P0 + lam P1 + lam^2 P2, then absorb the
+        # coefficients into the quadratic pencil.
+        def funcA2(om):
+            parts = [a for a in (sop.waveport_a2_csr(om),
+                                 sop.abc2_a2_csr(om)) if a is not None]
+            if not parts:
+                return None
+            out = parts[0]
+            for a in parts[1:]:
+                out = (out + a).tocsr()
+            return out
+
+        probeA2 = funcA2(omega_t)
+        if probeA2 is not None:
+            f_u = cfg.target_upper
+            f_u = units.nondimensionalize(ValueType.FREQUENCY,
+                                          f_u if f_u > 0 else 3 * cfg.target)
+            om_u = 2 * np.pi * f_u
+            pts = [1j * omega_t, 1j * 0.5 * (omega_t + om_u), 1j * om_u]
+            S = [probeA2, funcA2(0.5 * (omega_t + om_u)), funcA2(om_u)]
+            d01 = (S[1] - S[0]) * (1.0 / (pts[1] - pts[0]))
+            d12 = (S[2] - S[1]) * (1.0 / (pts[2] - pts[1]))
+            d012 = (d12 - d01) * (1.0 / (pts[2] - pts[0]))
+            P2 = d012
+            P1 = d01 - (pts[0] + pts[1]) * d012
+            P0 = S[0] - pts[0] * d01 + pts[0] * pts[1] * d012
+            Kcsr = (Kcsr + P0).tocsr()
+            Ccsr = (P1 if Ccsr is None else Ccsr + P1).tocsr()
+            Mcsr = (Mcsr + P2).tocsr()
+        # Request extra vectors (the gradient-nullspace cluster at
+        # lambda = 0 is filtered below); grow the subspace and retry if the
+        # filter leaves fewer than the n requested physical modes.
+        extra = 8
+        for attempt in range(3):
+            k_req = 2 * nev + extra
+            if Ccsr is not None and abs(Ccsr).max() > 0:
+                result = quadratic_eigs(Kcsr, Ccsr, Mcsr, ess, 1j * omega_t,
+                                        k_req, tol=cfg.tol)
+                omega = -1j * result.eigenvalues  # lam = i omega
+            else:
+                result = shift_invert_eigs(Kcsr, Mcsr, ess, omega_t ** 2,
+                                           k_req, tol=cfg.tol)
+                omega = np.sqrt(result.eigenvalues.astype(complex))
+            keep = (np.real(omega) > max(1e-8, 1e-3 * abs(omega_t)))
+            if probeA2 is not None:
+                # Nonlinear case: the interpolated pencil sprays spurious
+                # anti-damped modes; keep the physical branch above the
+                # target (reference: nleps.cpp:786 Im lam > Im sigma).
+                keep &= (np.real(omega) > omega_t)
+                keep &= (np.imag(omega) > -1e-2 * abs(omega_t))
+            if keep.sum() >= cfg.n or 2 * nev + extra > Kcsr.shape[0] // 4:
+                break
+            extra = 2 * extra + 2 * nev
 
         # Drop the gradient-nullspace cluster near omega = 0 (the role of
         # the div-free projection, reference: palace/linalg/divfree.hpp),
         # sort ascending Re(omega), keep n.
-        keep = (np.real(omega) > max(1e-8, 1e-3 * abs(omega_t)))
         omega = omega[keep]
         order = np.argsort(np.real(omega))[: cfg.n]
         vecs = result.eigenvectors[:, keep][:, order]
         res = result.residuals[keep][order]
         bkwd = result.backward_errors[keep][order]
         omega = omega[order]
+
+        if probeA2 is not None and len(omega) < cfg.n:
+            # The interpolated pencil's reach around the shift is limited;
+            # harvest additional candidates from a second PEP targeted
+            # above the highest mode found so far.
+            sig2 = 1.15 * (np.real(omega).max() if len(omega) else omega_t)
+            for _ in range(3):
+                r2 = quadratic_eigs(Kcsr, Ccsr, Mcsr, ess, 1j * sig2,
+                                    2 * nev + 8, tol=cfg.tol)
+                om2 = -1j * r2.eigenvalues
+                k2 = ((np.real(om2) > omega_t)
+                      & (np.imag(om2) > -1e-2 * abs(omega_t)))
+                fresh = [j for j in np.where(k2)[0]
+                         if all(abs(om2[j] - o) > 1e-6 * abs(o)
+                                for o in omega)]
+                if fresh:
+                    fr = sorted(fresh, key=lambda j: np.real(om2[j]))
+                    fr = fr[: cfg.n - len(omega)]
+                    omega = np.concatenate([omega, om2[fr]])
+                    vecs = np.concatenate([vecs, r2.eigenvectors[:, fr]],
+                                          axis=1)
+                    res = np.concatenate([res, r2.residuals[fr]])
+                    bkwd = np.concatenate([bkwd, r2.backward_errors[fr]])
+                if len(omega) >= cfg.n:
+                    break
+                sig2 *= 1.2
+
+        if probeA2 is not None:
+            # Refine each interpolated eigenpair against the true nonlinear
+            # problem by fixed-point iteration: freeze A2 at the mode's
+            # current (real) frequency, re-solve the quadratic pencil
+            # targeted at the mode, repeat.  At convergence
+            # (K + A2(Re w*) + lam C + lam^2 M) u = 0 holds with A2
+            # evaluated at the eigenfrequency — the same semantics as the
+            # reference's HYBRID refinement (eigensolver.cpp / nleps.cpp).
+            K0 = sop.stiffness_csr()
+            C0 = sop.damping_csr()
+            M0 = sop.mass_csr()
+            for i in range(len(omega)):
+                om = omega[i]
+                for _ in range(12):
+                    A2f = funcA2(float(np.real(om)))
+                    Kf = (K0 + A2f).tocsr()
+                    Cf = (C0 + 0 * A2f).tocsr() if C0 is not None else \
+                        (0 * A2f).tocsr()
+                    rr = quadratic_eigs(Kf, Cf, M0, ess, 1j * om, 4,
+                                        tol=cfg.tol)
+                    omr = -1j * rr.eigenvalues
+                    j = int(np.argmin(np.abs(omr - om)))
+                    dw = abs(omr[j] - om) / max(abs(om), 1e-30)
+                    om = omr[j]
+                    x = rr.eigenvectors[:, j]
+                    if dw < max(cfg.tol, 1e-9):
+                        break
+                omega[i] = om
+                vecs[:, i] = x
+                res[i] = rr.residuals[j]
+                bkwd[i] = rr.backward_errors[j]
+            order = np.argsort(np.real(omega))
+            omega, vecs = omega[order], vecs[:, order]
+            res, bkwd = res[order], bkwd[order]
         # Curl-flux error indicators per mode, normalized by the mode
         # energy (unit M-norm: E_elec = 1/4 -> total E = 1/2).
         from palace_tpu.fem.estimators import curl_flux_indicators

@@ -214,7 +214,8 @@ class H1Space:
         shapes = []
         for bid, b in enumerate(mesh.buckets):
             dofs = self.classified[b.geom]
-            k = _bucket_keys(b.corners.astype(np.int64), dofs, order, bid)
+            k = _bucket_keys(mesh.topo_ids(b.corners).astype(np.int64),
+                             dofs, order, bid)
             all_keys.append(k)
             shapes.append((b.num_elem, len(dofs)))
         cat = np.concatenate(all_keys)
@@ -242,7 +243,7 @@ class H1Space:
             sel = np.isin(b.attr, list(attrs))
             if not sel.any():
                 continue
-            corners = b.corners[sel].astype(np.int64)
+            corners = self.mesh.topo_ids(b.corners[sel]).astype(np.int64)
             dofs = classify_lattice(b.geom, p)
             keys = _bucket_keys(corners, dofs, p, -1)
             # Facet-interior dofs are the volume face dofs: KIND_TRI/KIND_QUAD

@@ -226,7 +226,7 @@ class NDSpace:
                 from palace_tpu.fem import nd_hex
 
                 keys, signs = nd_hex.hex_nd_keys_signs(
-                    order, b.corners.astype(np.int64), bid)
+                    order, mesh.topo_ids(b.corners).astype(np.int64), bid)
                 E, nd = signs.shape
                 all_keys.append(keys.reshape(E * nd, 7))
                 shapes.append((E, nd))
@@ -242,7 +242,7 @@ class NDSpace:
                     "(prism Nedelec lands with the wedge kernels)"
                 )
             self._fns[b.geom] = fns
-            corners = b.corners.astype(np.int64)
+            corners = mesh.topo_ids(b.corners).astype(np.int64)
             if not (np.diff(corners, axis=1) > 0).all():
                 raise RuntimeError(
                     "NDSpace requires canonicalize_simplices(mesh) first"
@@ -300,7 +300,7 @@ class NDSpace:
             sel = np.isin(b.attr, list(attrs))
             if not sel.any():
                 continue
-            corners = b.corners[sel].astype(np.int64)
+            corners = self.mesh.topo_ids(b.corners[sel]).astype(np.int64)
             E = corners.shape[0]
             keys = []
             if b.geom is Geom.QUAD:

@@ -65,10 +65,22 @@ class Mesh:
         self.dim = max(ref.GEOM_DIM[b.geom] for b in buckets)
         self._edge_table = None
         self._face_table = None
+        # Periodic identification: node id -> topological id (donor node).
+        # None = identity.  Geometry always uses the raw node ids; finite
+        # element spaces key their dof entities through topo_ids so paired
+        # boundary dofs coincide (reference: mfem periodic meshes /
+        # palace/utils/geodata.cpp MakePeriodic).
+        self.node_ident: Optional[np.ndarray] = None
 
         # Used vertices: corner nodes of domain elements.
         corner_ids = np.concatenate([b.corners.ravel() for b in buckets])
         self.vertex_ids = np.unique(corner_ids)  # node ids that are vertices
+
+    def topo_ids(self, ids: np.ndarray) -> np.ndarray:
+        """Map node ids to topological (periodic-identified) ids."""
+        if self.node_ident is None:
+            return ids
+        return self.node_ident[np.asarray(ids)]
 
     # -- basic queries ------------------------------------------------------
 
@@ -241,7 +253,7 @@ def canonicalize_simplices(mesh: Mesh):
         if b.geom not in (ref.Geom.TET, ref.Geom.TRI):
             continue
         nv = b.num_corners
-        corners = b.conn[:, :nv]
+        corners = mesh.topo_ids(b.conn[:, :nv])
         order = np.argsort(corners, axis=1)  # per-element permutation
         # encode class
         code = np.zeros(b.num_elem, np.int64)
