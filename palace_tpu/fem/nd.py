@@ -222,10 +222,12 @@ class NDSpace:
         sign_blocks = []
         self._fns: Dict[Geom, Tuple[NDBasisFn, ...]] = {}
         for bid, b in enumerate(mesh.buckets):
-            if b.geom is Geom.HEX:
+            if b.geom in (Geom.HEX, Geom.QUAD):
                 from palace_tpu.fem import nd_hex
 
-                keys, signs = nd_hex.hex_nd_keys_signs(
+                fn = (nd_hex.hex_nd_keys_signs if b.geom is Geom.HEX
+                      else nd_hex.quad_nd_keys_signs)
+                keys, signs = fn(
                     order, mesh.topo_ids(b.corners).astype(np.int64), bid)
                 E, nd = signs.shape
                 all_keys.append(keys.reshape(E * nd, 7))
@@ -284,6 +286,10 @@ class NDSpace:
             from palace_tpu.fem import nd_hex
 
             return nd_hex.hex_nd_eval(self.order, pts)
+        if geom is Geom.QUAD:
+            from palace_tpu.fem import nd_hex
+
+            return nd_hex.quad_nd_eval(self.order, pts)
         fns = self._fns[geom]
         nvert = 4 if geom is Geom.TET else 3
         return eval_nd_basis(fns, pts, nvert)

@@ -270,3 +270,94 @@ def _face_variant(p: int, gids: np.ndarray, fam: int, a: int, b: int):
         var[sel] = cfam * npf + alpha * (p - 1) + (beta - 1)
         sgn[sel] = s
     return var, sgn
+
+
+# -- 2D quadrilateral Nedelec (Q^-_p on quads) --------------------------------
+
+QUAD_VERTS = GEOM_VERTICES[Geom.QUAD]  # (4, 2) in gmsh cyclic order
+
+
+@functools.lru_cache(maxsize=None)
+def quad_nd_dofs(p: int) -> List[Tuple[int, int, int]]:
+    """Local dof list [(d, i, j)]: d = direction family, i in [0,p-1] along
+    d (l ladder), j in [0,p] across (q ladder)."""
+    return [(d, i, j)
+            for d in range(2) for i in range(p) for j in range(p + 1)]
+
+
+def quad_nd_eval(p: int, pts: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """(values (nq, nd, 2), scalar curls (nq, nd, 1)) on the reference quad
+    (curl v = d_x v_y - d_y v_x)."""
+    q, l = _ladders(p)
+    pts = np.asarray(pts, float)
+    nq = len(pts)
+    Q = [q.eval(pts[:, a]) for a in range(2)]
+    dQ = [q.deriv(pts[:, a]) for a in range(2)]
+    Lv = [l.eval(pts[:, a]) for a in range(2)]
+    dL = [l.deriv(pts[:, a]) for a in range(2)]
+    dofs = quad_nd_dofs(p)
+    nd = len(dofs)
+    V = np.zeros((nq, nd, 2))
+    C = np.zeros((nq, nd, 1))
+    for n, (d, i, j) in enumerate(dofs):
+        o = 1 - d
+        V[:, n, d] = Lv[d][:, i] * Q[o][:, j]
+        # curl(f e_x) = -d_y f ; curl(f e_y) = +d_x f
+        df_cross = Lv[d][:, i] * dQ[o][:, j]
+        C[:, n, 0] = df_cross if d == 1 else -df_cross
+    return V, C
+
+
+def _quad_vert_at(coords) -> int:
+    for vi, v in enumerate(QUAD_VERTS):
+        if np.allclose(v, coords):
+            return vi
+    raise ValueError(coords)
+
+
+@functools.lru_cache(maxsize=None)
+def quad_nd_entities(p: int):
+    """Per local dof: ('edge', va, vb, i) or ('interior', counter)."""
+    ents = []
+    interior_count = 0
+    for (d, i, j) in quad_nd_dofs(p):
+        o = 1 - d
+        if j in (0, p):
+            side = 0 if j == 0 else 1
+            c0 = np.zeros(2)
+            c1 = np.zeros(2)
+            c0[o] = c1[o] = side
+            c1[d] = 1.0
+            ents.append(("edge", _quad_vert_at(tuple(c0)),
+                         _quad_vert_at(tuple(c1)), i))
+        else:
+            ents.append(("interior", interior_count))
+            interior_count += 1
+    return ents
+
+
+def quad_nd_keys_signs(p: int, corners: np.ndarray, bucket_id: int
+                       ) -> Tuple[np.ndarray, np.ndarray]:
+    """Global keys (E, nd, 7) and signs (E, nd) for a 2D quad bucket
+    (corners (E, 4) global vertex ids in gmsh cyclic order).  Edge flips
+    reduce to index reversal + tangential sign, as for hexahedra."""
+    ents = quad_nd_entities(p)
+    E = corners.shape[0]
+    nd = len(ents)
+    keys = np.empty((E, nd, 7), np.int64)
+    signs = np.ones((E, nd))
+    g = corners.astype(np.int64)
+    for n, ent in enumerate(ents):
+        if ent[0] == "edge":
+            _, va, vb, i = ent
+            ga, gb = g[:, va], g[:, vb]
+            flip = ga > gb
+            var = np.where(flip, p - 1 - i, i)
+            keys[:, n] = dofmap.edge_keys(
+                np.minimum(ga, gb), np.maximum(ga, gb),
+                np.zeros(E, np.int64), 1, variant=var)
+            signs[:, n] = np.where(flip, -1.0, 1.0)
+        else:
+            keys[:, n] = dofmap.interior_keys(
+                bucket_id, np.arange(E), np.full(E, ent[1]))
+    return keys, signs

@@ -175,6 +175,7 @@ def nd_h1_gradient(nd_space: NDSpace, h1_space) -> "object":
         loc[np.abs(loc) < 1e-12] = 0.0
         ndofs = nd_space.elem_dofs[bi]
         hdofs = h1_space.elem_dofs[bi]
+        sg = getattr(nd_space, "elem_signs", [None] * len(mesh.buckets))[bi]
         E = b.num_elem
         # Each ND row is written by (any) one adjacent element; filter dups.
         for n in range(ndn):
@@ -189,10 +190,13 @@ def nd_h1_gradient(nd_space: NDSpace, h1_space) -> "object":
             if len(keep) == 0:
                 continue
             seen[r[keep]] = True
+            # Orientation signs of tensor-element dofs: the global dof is
+            # sign * local, so the global gradient row picks up the sign.
+            sk = sg[keep, n] if sg is not None else 1.0
             for m in nz:
                 rows.append(r[keep])
                 cols.append(hdofs[keep, m])
-                vals.append(np.full(len(keep), loc[n, m]))
+                vals.append(loc[n, m] * np.ones(len(keep)) * sk)
     G = sp.coo_matrix(
         (np.concatenate(vals), (np.concatenate(rows), np.concatenate(cols))),
         shape=(nd_space.num_dofs, h1_space.num_dofs),

@@ -59,21 +59,36 @@ class WavePortData:
         self.materials = materials
         order = iodata.solver.order
 
-        # -- collect port facets (triangles) and their adjacent-element attrs
-        facets = []  # (conn 3d node ids, parent bdr attr)
+        # -- collect port facets (tris or quads, possibly curved) and their
+        # adjacent-element attrs
+        facets = []  # full facet conns (geometry nodes included)
+        fgeom, fetype, fgorder = None, None, 1
         for bb in mesh.bdr_buckets:
-            if bb.geom is not Geom.TRI:
+            if bb.geom not in (Geom.TRI, Geom.QUAD):
                 continue
             sel = np.isin(bb.attr, self.attrs)
             if sel.any():
-                facets.append(bb.conn[sel][:, :3])
+                if fgeom is not None and fgeom is not bb.geom:
+                    raise NotImplementedError(
+                        f"wave port {self.index}: mixed facet geometries")
+                fgeom, fetype, fgorder = bb.geom, bb.etype, bb.geo_order
+                facets.append(bb.conn[sel])
         if not facets:
             raise ValueError(f"wave port {self.index}: no boundary facets")
-        conn3d = np.concatenate(facets)  # (F, 3) corner nodes only
+        connfull = np.concatenate(facets)  # (F, nn) all geometry nodes
+        ncorner = len(ref.GEOM_VERTICES[fgeom])
+        conn3d = connfull[:, :ncorner]
         self.conn3d = conn3d
+        self.fgeom = fgeom
+        # Triangular ports are rebuilt straight-sided from corners (the
+        # simplex path canonicalizes + inverts affinely); quad ports keep
+        # their full curved geometry and the facet parametrization.
+        if fgeom is Geom.TRI:
+            connfull = conn3d
+            fetype, fgorder = 2, 1
 
         # -- plane frame (t1, t2, n), n oriented outward from the domain
-        nodes_ids = np.unique(conn3d.ravel())
+        nodes_ids = np.unique(connfull.ravel())
         P3 = mesh.nodes[nodes_ids]
         self.origin = P3.mean(axis=0)
         X = P3 - self.origin
@@ -88,7 +103,7 @@ class WavePortData:
         from palace_tpu.fem.evaluation import boundary_trace
 
         self.trace = boundary_trace(mesh, self.attrs,
-                                    default_qorder(order, 1, Geom.TRI))
+                                    default_qorder(order, fgorder, fgeom))
         vb = mesh.buckets[self.trace.bucket[0]]
         cent = mesh.nodes[vb.corners[self.trace.elem[0]]].mean(axis=0)
         if np.dot(n, cent - self.origin) > 0:
@@ -99,14 +114,17 @@ class WavePortData:
         # -- 2D submesh in the (t1, t2) frame
         g2l = {int(g): i for i, g in enumerate(nodes_ids)}
         nodes2 = np.stack([X @ t1, X @ t2], axis=1)
-        conn2 = np.vectorize(g2l.get)(conn3d).astype(np.int32)
+        conn2full = np.vectorize(g2l.get)(connfull).astype(np.int32)
+        conn2 = conn2full[:, :ncorner]
         self.l2g = nodes_ids  # 2d node -> 3d node
 
         # Boundary edges of the submesh, with parent 3D boundary attrs for
         # essential-BC identification (reference: waveportoperator.cpp:49-119
         # GetEssentialTrueDofs via the parent dbc list).
-        edges = np.sort(conn2[:, [[0, 1], [1, 2], [0, 2]]].reshape(-1, 2),
-                        axis=1)
+        edge_locals = (ref.GEOM_EDGES[Geom.TRI] if fgeom is Geom.TRI
+                       else ref.GEOM_EDGES[Geom.QUAD])
+        edges = np.sort(conn2[:, [list(e) for e in edge_locals]].reshape(
+            -1, 2), axis=1)
         uniq, counts = np.unique(edges, axis=0, return_counts=True)
         # Essential edges come from 3D Dirichlet surfaces and may be
         # INTERIOR lines of the port submesh (e.g. the CPW metal trace
@@ -118,7 +136,8 @@ class WavePortData:
 
         self.mesh2 = Mesh(
             nodes2,
-            [ElemBucket(2, Geom.TRI, 1, conn2, np.ones(len(conn2), np.int32))],
+            [ElemBucket(fetype, fgeom, fgorder, conn2full,
+                        np.ones(len(conn2full), np.int32))],
             [ElemBucket(1, Geom.LINE, 1, bedges.astype(np.int32), bdr_attr)],
             {},
         )
@@ -176,6 +195,20 @@ class WavePortData:
             a: _pad3(t) for a, t in self.muinv_t.items()}).assemble_csr()
         self._Mnn = h1_operator(self.h1, mass_coef={
             a: np.eye(3) * self.eps_nn[a] for a in self.eps_nn}).assemble_csr()
+        # Discrete gradient + factorized (essential-eliminated) Knn for the
+        # gradient deflation in solve_mode.
+        from palace_tpu.fem.nd_operators import nd_h1_gradient
+        from scipy.sparse.linalg import splu as _splu
+
+        try:
+            self._Gnd = nd_h1_gradient(self.nd, self.h1)
+            Ke = self._Knn.astype(complex).tolil()
+            Ke[self.ess_h1, :] = 0.0
+            Ke[:, self.ess_h1] = 0.0
+            Ke[self.ess_h1, self.ess_h1] = 1.0
+            self._Knn_lu = _splu(Ke.tocsc())
+        except Exception:
+            self._Gnd = None
 
         self._mode_cache: Dict[float, ModeSolution] = {}
         self.kn0: complex = 0.0
@@ -202,10 +235,10 @@ class WavePortData:
         mesh = self.mesh2
         rows, cols, vals = [], [], []
         b = mesh.buckets[0]
-        q = default_qorder(self.nd.order, 1, Geom.TRI)
+        q = default_qorder(self.nd.order, b.geo_order, b.geom)
         gf = geometry.compute(mesh.nodes, b, q)
-        V, _ = self.nd.basis_tables(Geom.TRI, gf.qpts)  # (nq, ndn, 2)
-        Gh = self.h1.basis(Geom.TRI).eval_grad(gf.qpts)  # (nq, ndh, 2)
+        V, _ = self.nd.basis_tables(b.geom, gf.qpts)  # (nq, ndn, 2)
+        Gh = self.h1.basis(b.geom).eval_grad(gf.qpts)  # (nq, ndh, 2)
         C = np.stack([_trunc2(coef2[int(a)]) for a in
                       np.unique(b.attr)])  # lut
         lut_i = {int(a): i for i, a in enumerate(np.unique(b.attr))}
@@ -217,6 +250,8 @@ class WavePortData:
         vph = np.einsum("eqrs,qnr->eqns", J, V)
         cg = np.einsum("est,eqnt->eqns", Ce, gph)
         A = np.einsum("eq,eqms,eqns->emn", gf.wdetJ, vph, cg, optimize=True)
+        if self.nd.elem_signs[0] is not None:
+            A = A * self.nd.elem_signs[0][:, :, None]
         nd_d = self.nd.elem_dofs[0]
         h1_d = self.h1.elem_dofs[0]
         E, ndn = nd_d.shape
@@ -286,6 +321,24 @@ class WavePortData:
         v = vecs[:, pick]
         et = v[:nnd]
         en_t = v[nnd:]
+        # The VD pencil carries a family of gradient-type eigenvalues
+        # lam(theta) from the Dirichlet spectrum of the port; when one lands
+        # near the physical lam the Arnoldi vector returns a mixture.
+        # Deflate: remove the (Btt-orthogonal) gradient component
+        # et -= G Knn^-1 G^T Btt et and recompute en from the n-equation
+        # (the port-mode analog of the driven div-free projection).
+        from scipy.sparse.linalg import splu as _splu
+
+        if self._Gnd is not None:
+            lam_m = complex(lam[pick])
+            g = self._Gnd.T @ (self._Btt @ et)
+            g[self.ess_h1] = 0.0
+            y = self._Knn_lu.solve(g)
+            et = et - self._Gnd @ y
+            et[self.ess_nd] = 0.0
+            rn = lam_m * (Btn @ et)
+            rn[self.ess_h1] = 0.0
+            en_t = _splu(Ann.tocsc()).solve(rn)
         en = en_t / (1j * kn_m)  # VD back-transform
         sol = ModeSolution(kn_m, et, en)
         self._normalize(sol, omega)
@@ -306,18 +359,42 @@ class WavePortData:
         # 2D coordinates of the 3D quadrature points.
         xq2 = np.einsum("fqs,sr->fqr", tr.xq - self.origin,
                         np.stack([self.t1, self.t2], axis=1))
-        # Reference coords in each (straight) 2D triangle.
-        X = mesh2.nodes[b.conn]  # (F, 3, 2)
-        v0 = X[:, 0]
-        Jm = np.stack([X[:, 1] - v0, X[:, 2] - v0], axis=2)  # (F, 2, 2)
-        Jinv = np.linalg.inv(Jm)
-        xi = np.einsum("frs,fqs->fqr", Jinv, xq2 - v0[:, None, :])
+        geom = b.geom
+        if geom is Geom.TRI:
+            # Reference coords in each (straight) 2D triangle.
+            X = mesh2.nodes[b.corners]  # (F, 3, 2)
+            v0 = X[:, 0]
+            Jm = np.stack([X[:, 1] - v0, X[:, 2] - v0], axis=2)  # (F, 2, 2)
+            Ja = np.linalg.inv(Jm)  # (F, 2, 2)
+            xi = np.einsum("frs,fqs->fqr", Ja, xq2 - v0[:, None, :])
+            Jinv = np.broadcast_to(Ja[:, None], (nfac, nq, 2, 2))
+        else:
+            # Curved quads: Newton-invert the isoparametric map per facet,
+            # with the per-point inverse Jacobian for the transforms.
+            gb = ref.gmsh_geometry_basis(b.etype)
+            Xn = mesh2.nodes[b.conn]  # (F, nn, 2)
+            xi = np.full((nfac, nq, 2), 0.5)
+            for _ in range(25):
+                Jq = None
+                resid = 0.0
+                B = np.stack([gb.eval(xi[f]) for f in range(nfac)])
+                G = np.stack([gb.eval_grad(xi[f]) for f in range(nfac)])
+                x_cur = np.einsum("fqn,fns->fqs", B, Xn)
+                Jq = np.einsum("fqnr,fns->fqsr", G, Xn)  # dx_s/dxi_r
+                r = xq2 - x_cur
+                resid = np.abs(r).max()
+                if resid < 1e-12:
+                    break
+                xi = xi + np.einsum("fqrs,fqs->fqr", np.linalg.inv(Jq), r)
+            # inv of J[s,r] = dx_s/dxi_r gives Jinv[r,s] = dxi_r/dx_s, the
+            # same (r, s) layout as the affine path.
+            Jinv = np.linalg.inv(Jq)  # (F, nq, 2, 2)
         VA, CA = [], []
         GH = []
         BH = []
+        h1b = self.h1.basis(geom)
         for f in range(nfac):
-            V, C = self.nd.basis_tables(Geom.TRI, xi[f])
-            h1b = self.h1.basis(Geom.TRI)
+            V, C = self.nd.basis_tables(geom, xi[f])
             GH.append(h1b.eval_grad(xi[f]))
             BH.append(h1b.eval(xi[f]))
             VA.append(V)
@@ -333,10 +410,12 @@ class WavePortData:
         nd_d = self.nd.elem_dofs[0]
         h1_d = self.h1.elem_dofs[0]
         et_e = sol.et[nd_d]  # (F, ndn)
+        if self.nd.elem_signs[0] is not None:
+            et_e = et_e * self.nd.elem_signs[0]
         en_e = sol.en[h1_d]
-        # Covariant transforms with the per-facet affine Jinv.
-        et2 = np.einsum("frs,fqnr,fn->fqs", Jinv, VA, et_e)
-        gn2 = np.einsum("frs,fqnr,fn->fqs", Jinv, GH, en_e)
+        # Covariant transforms with the per-(facet, point) Jinv.
+        et2 = np.einsum("fqrs,fqnr,fn->fqs", Jinv, VA, et_e)
+        gn2 = np.einsum("fqrs,fqnr,fn->fqs", Jinv, GH, en_e)
         en_q = np.einsum("fqn,fn->fq", BH, en_e)
         lift = np.stack([self.t1, self.t2], axis=0)  # (2, 3)
         Et3 = np.einsum("fqs,st->fqt", et2, lift)
@@ -394,7 +473,7 @@ def _facet_edge_set(mesh: Mesh, attrs) -> set:
         if not sel.any():
             continue
         c = bb.corners[sel]
-        for (i, j) in ((0, 1), (1, 2), (0, 2)):
+        for (i, j) in ref.GEOM_EDGES[bb.geom]:
             e = np.sort(c[:, [i, j]].astype(np.int64), axis=1)
             out.update(map(tuple, e))
     return out
