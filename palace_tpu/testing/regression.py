@@ -1,0 +1,495 @@
+"""End-to-end regression harness over the reference corpus.
+
+Runs every case from /root/reference/test/data/regression/input/ through
+palace_tpu.api.run and diffs the produced CSV tree against the committed
+references with the reference's tolerance machinery (reference:
+test/unit/regression_helpers.{hpp,cpp}, test/unit/regression/cases.cpp).
+
+Per-case tolerances, excluded columns, magnitude-only columns, row-count
+policies, and custom per-file checks are transcribed from
+test/unit/regression/cases.cpp:187-548 (they are the test SPEC, i.e. data).
+
+Comparison semantics (regression_helpers.cpp:223-296):
+  - column count must match; row count must match unless skip_rowcount
+  - headers must match column-by-column
+  - per value: |a - r| <= rtol*max(|a|,|r|)  OR  |a - r| <= atol
+  - columns whose header contains any excluded substring are dropped
+  - columns whose header contains an abs_columns substring compare |a| vs |r|
+  - eigen cases cap compared rows at Solver/Eigenmode/N
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import time
+import traceback
+from dataclasses import dataclass, field
+from typing import Callable, Dict, List, Optional, Tuple
+
+import numpy as np
+
+INPUT_ROOT = "/root/reference/test/data/regression/input"
+REF_ROOT = "/root/reference/test/data/regression/ref"
+
+INF = float("inf")
+
+
+# ---------------------------------------------------------------------------
+# CSV table loading (reference tablecsv format: comma-separated, padded)
+# ---------------------------------------------------------------------------
+
+@dataclass
+class LoadedTable:
+    headers: List[str]
+    data: np.ndarray  # (n_rows, n_cols), NaN for NULL
+
+    @property
+    def n_cols(self) -> int:
+        return len(self.headers)
+
+    @property
+    def n_rows(self) -> int:
+        return self.data.shape[0] if self.data.size else 0
+
+
+def load_table(path: str) -> LoadedTable:
+    with open(path) as f:
+        lines = [ln.rstrip("\n") for ln in f if ln.strip()]
+    if not lines:
+        return LoadedTable([], np.zeros((0, 0)))
+    headers = [h.strip() for h in lines[0].split(",")]
+    rows = []
+    for ln in lines[1:]:
+        vals = []
+        for tok in ln.split(","):
+            tok = tok.strip()
+            if tok in ("NULL", ""):
+                vals.append(math.nan)
+            else:
+                try:
+                    vals.append(float(tok))
+                except ValueError:
+                    vals.append(math.nan)
+        rows.append(vals)
+    ncol = len(headers)
+    data = np.full((len(rows), ncol), math.nan)
+    for i, r in enumerate(rows):
+        data[i, : min(ncol, len(r))] = r[:ncol]
+    return LoadedTable(headers, data)
+
+
+# ---------------------------------------------------------------------------
+# Case specification
+# ---------------------------------------------------------------------------
+
+CustomCheck = Callable[[LoadedTable, LoadedTable, "CaseSpec"], List[str]]
+
+
+@dataclass
+class CaseSpec:
+    name: str
+    case_dir: str           # directory under input/ and ref/
+    config: str             # config JSON filename
+    subdir: str = ""        # postpro subdir under ref/<case_dir>/
+    rtol: float = 1e-6
+    atol: float = 1e-18
+    excluded: Tuple[str, ...] = ()
+    abs_columns: Tuple[str, ...] = ()
+    skip_rowcount: bool = False
+    max_rows: Optional[int] = None
+    long: bool = False      # [Long] tag: excluded from the default sweep
+    custom: Dict[str, CustomCheck] = field(default_factory=dict)
+
+    def config_path(self) -> str:
+        return os.path.join(INPUT_ROOT, self.case_dir, self.config)
+
+    def ref_dir(self) -> str:
+        return os.path.join(REF_ROOT, self.case_dir, self.subdir)
+
+
+@dataclass
+class FileResult:
+    name: str
+    n_values: int = 0
+    max_rel: float = 0.0    # max of min(relerr, relerr-if-atol-passes=0)
+    worst: str = ""         # description of the worst value
+    failures: List[str] = field(default_factory=list)
+
+    @property
+    def ok(self) -> bool:
+        return not self.failures
+
+
+@dataclass
+class CaseResult:
+    name: str
+    status: str = "pass"    # pass | fail | error | skip
+    seconds: float = 0.0
+    files: List[FileResult] = field(default_factory=list)
+    error: str = ""
+
+    @property
+    def max_rel(self) -> float:
+        return max((f.max_rel for f in self.files), default=0.0)
+
+    def n_failures(self) -> int:
+        return sum(len(f.failures) for f in self.files)
+
+    def summary(self) -> dict:
+        return {
+            "name": self.name,
+            "status": self.status,
+            "seconds": round(self.seconds, 1),
+            "max_rel": self.max_rel,
+            "n_failures": self.n_failures(),
+            "files": {
+                f.name: {"max_rel": f.max_rel, "failures": f.failures[:5]}
+                for f in self.files
+            },
+            "error": self.error,
+        }
+
+
+# ---------------------------------------------------------------------------
+# Table diffing
+# ---------------------------------------------------------------------------
+
+def _header_matches(header: str, patterns: Tuple[str, ...]) -> bool:
+    return any(p in header for p in patterns)
+
+
+def _drop_excluded(t: LoadedTable, patterns: Tuple[str, ...]) -> LoadedTable:
+    keep = [i for i, h in enumerate(t.headers) if not _header_matches(h, patterns)]
+    return LoadedTable([t.headers[i] for i in keep],
+                       t.data[:, keep] if t.data.size else t.data)
+
+
+def _rel_err(a: float, r: float) -> float:
+    m = max(abs(a), abs(r))
+    return abs(a - r) / m if m > 0 else 0.0
+
+
+def diff_tables(actual: LoadedTable, ref: LoadedTable, spec: CaseSpec,
+                fr: FileResult) -> None:
+    actual = _drop_excluded(actual, spec.excluded)
+    ref = _drop_excluded(ref, spec.excluded)
+    if actual.n_cols != ref.n_cols:
+        fr.failures.append(
+            f"column count {actual.n_cols} != ref {ref.n_cols}")
+    if not spec.skip_rowcount and actual.n_rows != ref.n_rows:
+        fr.failures.append(f"row count {actual.n_rows} != ref {ref.n_rows}")
+    if spec.skip_rowcount and (actual.n_rows > 0) != (ref.n_rows > 0):
+        fr.failures.append(
+            f"row presence mismatch ({actual.n_rows} vs {ref.n_rows})")
+
+    n_cols = min(actual.n_cols, ref.n_cols)
+    n_rows = min(actual.n_rows, ref.n_rows)
+    if spec.max_rows is not None:
+        n_rows = min(n_rows, spec.max_rows)
+    nfail0 = len(fr.failures)
+    for c in range(n_cols):
+        ha, hr = actual.headers[c], ref.headers[c]
+        if ha != hr:
+            fr.failures.append(f"header[{c}] '{ha}' != '{hr}'")
+            continue
+        by_mag = _header_matches(hr, spec.abs_columns)
+        for r in range(n_rows):
+            av, rv = actual.data[r, c], ref.data[r, c]
+            if math.isnan(av) and math.isnan(rv):
+                continue
+            if by_mag:
+                av, rv = abs(av), abs(rv)
+            fr.n_values += 1
+            err = abs(av - rv)
+            ok = (err <= spec.rtol * max(abs(av), abs(rv))) or (err <= spec.atol)
+            rel = _rel_err(av, rv) if err > spec.atol else 0.0
+            if rel > fr.max_rel:
+                fr.max_rel = rel
+                fr.worst = f"row {r + 1} '{hr}': {av:.6e} vs {rv:.6e}"
+            if not ok and len(fr.failures) - nfail0 < 20:
+                fr.failures.append(
+                    f"row {r + 1} '{hr}': {av:.6e} vs ref {rv:.6e} "
+                    f"(rel {rel:.2e})")
+
+
+# ---------------------------------------------------------------------------
+# Custom checks (transcribed from cases.cpp:36-178)
+# ---------------------------------------------------------------------------
+
+def farfield_check(rtol: float) -> CustomCheck:
+    """Magnitude-only farfield check over the 6 trailing rE columns."""
+    def check(a: LoadedTable, r: LoadedTable, spec: CaseSpec) -> List[str]:
+        fails: List[str] = []
+        if a.n_cols < 6 or a.n_cols != r.n_cols:
+            return [f"farfield column count {a.n_cols} vs {r.n_cols}"]
+        e0 = a.n_cols - 6
+        for i in range(min(a.n_rows, r.n_rows)):
+            ma = math.sqrt(float(np.sum(a.data[i, e0:] ** 2)))
+            mr = math.sqrt(float(np.sum(r.data[i, e0:] ** 2)))
+            if abs(ma - mr) > rtol * max(ma, mr):
+                if len(fails) < 10:
+                    fails.append(
+                        f"row {i + 1} |E| {ma:.6e} vs ref {mr:.6e}")
+        return fails
+    return check
+
+
+def complex_magnitudes_check(rtol: float, atol: float) -> CustomCheck:
+    """Compare paired Re{X}/Im{X} columns by magnitude |X|."""
+    def check(a: LoadedTable, r: LoadedTable, spec: CaseSpec) -> List[str]:
+        fails: List[str] = []
+        n_cols = min(a.n_cols, r.n_cols)
+        n_rows = min(a.n_rows, r.n_rows)
+
+        def find(t: LoadedTable, h: str) -> Optional[int]:
+            return t.headers.index(h) if h in t.headers else None
+
+        for c in range(n_cols):
+            hdr = a.headers[c]
+            if hdr != r.headers[c]:
+                fails.append(f"header[{c}] '{hdr}' != '{r.headers[c]}'")
+                continue
+            if hdr.startswith("Im{"):
+                continue
+            if hdr.startswith("Re{"):
+                im_hdr = "Im{" + hdr[3:]
+                ia, ir = find(a, im_hdr), find(r, im_hdr)
+                if ia is None or ir is None:
+                    fails.append(f"no Im partner for '{hdr}'")
+                    continue
+                for row in range(n_rows):
+                    ma = math.hypot(a.data[row, c], a.data[row, ia])
+                    mr = math.hypot(r.data[row, c], r.data[row, ir])
+                    err = abs(ma - mr)
+                    if err > rtol * max(ma, mr) and err > atol:
+                        if len(fails) < 10:
+                            fails.append(
+                                f"row {row + 1} |{hdr}| {ma:.6e} vs {mr:.6e}")
+                continue
+            for row in range(n_rows):
+                av, rv = a.data[row, c], r.data[row, c]
+                if math.isnan(av) and math.isnan(rv):
+                    continue
+                err = abs(av - rv)
+                if err > rtol * max(abs(av), abs(rv)) and err > atol:
+                    if len(fails) < 10:
+                        fails.append(
+                            f"row {row + 1} '{hdr}' {av:.6e} vs {rv:.6e}")
+        return fails
+    return check
+
+
+def floquet_sparams_check(rtol: float, atol: float) -> CustomCheck:
+    """|S[...]| (dB) magnitude columns only; NaN/< -200 dB entries match."""
+    def check(a: LoadedTable, r: LoadedTable, spec: CaseSpec) -> List[str]:
+        fails: List[str] = []
+        n_cols = min(a.n_cols, r.n_cols)
+        n_rows = min(a.n_rows, r.n_rows)
+        for c in range(n_cols):
+            hdr = r.headers[c]
+            if "|S[" not in hdr or "(dB)" not in hdr:
+                continue
+            for row in range(n_rows):
+                vn, vr = a.data[row, c], r.data[row, c]
+                if (math.isnan(vn) and math.isnan(vr)) or vr < -200.0:
+                    continue
+                err = abs(vn - vr)
+                if err > rtol * max(abs(vn), abs(vr)) and err > atol:
+                    if len(fails) < 10:
+                        fails.append(
+                            f"row {row + 1} '{hdr}' {vn:.4f} vs {vr:.4f}")
+        return fails
+    return check
+
+
+# ---------------------------------------------------------------------------
+# The case table (cases.cpp:187-548)
+# ---------------------------------------------------------------------------
+
+_EIGEN_EXCL = ("Maximum", "Minimum", "Mean", "Error (Bkwd.)", "Error (Abs.)")
+_MINMAX = ("Maximum", "Minimum")
+
+
+def _build_cases() -> Dict[str, CaseSpec]:
+    cases = [
+        CaseSpec("spheres", "spheres", "spheres.json", "",
+                 rtol=1e-4, atol=1e-16, excluded=_MINMAX),
+        CaseSpec("rings", "rings", "rings.json", "",
+                 rtol=1e-4, atol=1e-16, excluded=_MINMAX),
+        CaseSpec("cylinder_cavity_pec", "cylinder", "cavity_pec.json",
+                 "cavity_pec", rtol=1e-4, atol=1e-16,
+                 excluded=_EIGEN_EXCL, skip_rowcount=True),
+        CaseSpec("cylinder_cavity_impedance", "cylinder",
+                 "cavity_impedance.json", "cavity_impedance",
+                 rtol=1e-4, atol=1e-16, excluded=_EIGEN_EXCL,
+                 skip_rowcount=True),
+        CaseSpec("cylinder_waveguide", "cylinder", "waveguide.json",
+                 "waveguide", rtol=1e-4, atol=1e-16,
+                 excluded=_EIGEN_EXCL, skip_rowcount=True),
+        CaseSpec("cylinder_floquet", "cylinder", "floquet.json", "floquet",
+                 rtol=1e-4, atol=1e-16, excluded=_EIGEN_EXCL,
+                 skip_rowcount=True),
+        CaseSpec("cylinder_driven_wave", "cylinder", "driven_wave.json",
+                 "driven_wave", rtol=1e-3, atol=1e-16,
+                 excluded=("Maximum", "Minimum", "Mean")),
+        CaseSpec("dielectric_grating_uniform", "dielectric_grating",
+                 "dielectric_grating_uniform.json", "uniform",
+                 rtol=1e-3, atol=1e-16, excluded=_MINMAX,
+                 skip_rowcount=True,
+                 custom={"port-floquet-S.csv":
+                         floquet_sparams_check(1e-3, 1e-16)}),
+        CaseSpec("antenna_halfwave_dipole", "antenna",
+                 "antenna_halfwave_dipole.json", "antenna_halfwave_dipole",
+                 rtol=2e-2, atol=5e-9),
+        CaseSpec("antenna_short_dipole", "antenna",
+                 "antenna_short_dipole.json", "antenna_short_dipole",
+                 rtol=2e-2, atol=5e-9,
+                 custom={"farfield-rE.csv": farfield_check(2e-2)}),
+        CaseSpec("antenna_halfwave_dipole_surfacecurrent", "antenna",
+                 "antenna_halfwave_dipole_surfacecurrent.json",
+                 "antenna_halfwave_dipole_surfacecurrent",
+                 rtol=2e-2, atol=5e-9),
+        CaseSpec("coaxial_open", "coaxial", "coaxial_open.json", "open",
+                 rtol=2e-2, atol=1e-11, excluded=_MINMAX),
+        CaseSpec("coaxial_matched", "coaxial", "coaxial_matched.json",
+                 "matched", rtol=2e-2, atol=1e-11, excluded=_MINMAX),
+        CaseSpec("coaxial_lumped_wave", "coaxial", "coaxial_lumped_wave.json",
+                 "lumped_wave", rtol=2e-2, atol=1e-11, excluded=_MINMAX),
+        CaseSpec("cpw_lumped_uniform", "cpw", "cpw_lumped_uniform.json",
+                 "lumped_uniform", rtol=2e-2, atol=1e-11, excluded=_MINMAX,
+                 custom={"farfield-rE.csv": farfield_check(2e-2)}),
+        CaseSpec("cpw_wave_uniform", "cpw", "cpw_wave_uniform.json",
+                 "wave_uniform", rtol=2e-2, atol=1e-11, excluded=_MINMAX),
+        CaseSpec("cpw_lumped_adaptive", "cpw", "cpw_lumped_adaptive.json",
+                 "lumped_adaptive", rtol=INF, atol=INF),
+        CaseSpec("cpw_wave_adaptive", "cpw", "cpw_wave_adaptive.json",
+                 "wave_adaptive", rtol=INF, atol=INF),
+        CaseSpec("cpw_lumped_eigen", "cpw", "cpw_lumped_eigen.json",
+                 "lumped_eigen", rtol=2e-2, atol=1e-11,
+                 excluded=_EIGEN_EXCL + ("Re{V[", "Im{V[", "Re{I[", "Im{I[",
+                                         "Q_ext", "κ_ext"),
+                 skip_rowcount=True,
+                 custom={"farfield-rE.csv": farfield_check(2e-2)}),
+        CaseSpec("cpw_wave_eigen", "cpw", "cpw_wave_eigen.json", "wave_eigen",
+                 rtol=2e-2, atol=1e-11, excluded=_EIGEN_EXCL,
+                 skip_rowcount=True),
+        CaseSpec("adapter_hybrid", "adapter", "hybrid.json", "hybrid",
+                 rtol=2e-2, atol=1e-11, excluded=_EIGEN_EXCL,
+                 skip_rowcount=True),
+        CaseSpec("transmon_coarse", "transmon", "transmon_coarse.json",
+                 "transmon_coarse", rtol=1e-2, atol=1e-16,
+                 excluded=_EIGEN_EXCL + ("Re{V[", "Im{V[", "Re{I[", "Im{I["),
+                 abs_columns=("κ_ext",), skip_rowcount=True, long=True),
+        CaseSpec("transmon_amr", "transmon", "transmon_amr.json",
+                 "transmon_amr", rtol=1e-2, atol=1e-16,
+                 excluded=_EIGEN_EXCL + ("Re{V[", "Im{V[", "Re{I[", "Im{I["),
+                 abs_columns=("κ_ext",), skip_rowcount=True, long=True),
+        CaseSpec("cavity2d_eigenmode", "cavity2d", "cavity2d.json",
+                 "eigenmode", rtol=1e-4, atol=1e-16, excluded=_EIGEN_EXCL,
+                 skip_rowcount=True),
+        CaseSpec("cavity2d_driven", "cavity2d", "cavity2d_driven.json",
+                 "driven", rtol=2e-2, atol=1e-8, excluded=_MINMAX),
+        CaseSpec("cavity2d_electrostatic", "cavity2d",
+                 "cavity2d_electrostatic.json", "electrostatic",
+                 rtol=1e-4, atol=1e-10, excluded=_MINMAX),
+        CaseSpec("cavity2d_magnetostatic", "cavity2d",
+                 "cavity2d_magnetostatic.json", "magnetostatic",
+                 rtol=1e-4, atol=1e-10, excluded=_MINMAX),
+        CaseSpec("cavity2d_transient", "cavity2d", "cavity2d_transient.json",
+                 "transient", rtol=1e-4, atol=1e-10, excluded=_MINMAX),
+        CaseSpec("cpw2d_thin", "cpw2d", "cpw2d_thin.json", "thin",
+                 rtol=1e-2, atol=1e-10,
+                 excluded=_EIGEN_EXCL + ("Im{kn} (1/m)", "Im{n_eff}"),
+                 skip_rowcount=True,
+                 custom={"mode-V.csv": complex_magnitudes_check(1e-2, 1e-10)}),
+        CaseSpec("cpw2d_thick_impedance", "cpw2d",
+                 "cpw2d_thick_impedance.json", "thick_impedance",
+                 rtol=1e-2, atol=1e-10,
+                 excluded=_EIGEN_EXCL + ("Im{kn} (1/m)", "Im{n_eff}"),
+                 skip_rowcount=True),
+        CaseSpec("cpw_wave_2dmode", "cpw", "cpw_wave_2dmode.json",
+                 "wave_2dmode", rtol=1e-4, atol=1e-10,
+                 excluded=_EIGEN_EXCL, skip_rowcount=True),
+    ]
+    return {c.name: c for c in cases}
+
+
+CASES: Dict[str, CaseSpec] = _build_cases()
+
+# CSVs that are diffed (palace.json and volumetric outputs are not).
+_SKIP_FILES = {"palace.json"}
+
+
+def _eigen_max_rows(config_path: str) -> Optional[int]:
+    """Reference derives max_rows from Solver/Eigenmode/N for eigen cases."""
+    from palace_tpu.config import jsonio
+    try:
+        cfg = jsonio.load(config_path)
+    except Exception:
+        return None
+    if cfg.get("Problem", {}).get("Type") != "Eigenmode":
+        return None
+    n = cfg.get("Solver", {}).get("Eigenmode", {}).get("N")
+    return int(n) if n else None
+
+
+def diff_tree(out_dir: str, spec: CaseSpec) -> CaseResult:
+    """Diff every reference CSV against the produced tree."""
+    res = CaseResult(spec.name)
+    ref_dir = spec.ref_dir()
+    for root, _dirs, files in os.walk(ref_dir):
+        for fn in sorted(files):
+            relpath = os.path.relpath(os.path.join(root, fn), ref_dir)
+            if fn in _SKIP_FILES or not fn.endswith(".csv"):
+                continue
+            fr = FileResult(relpath)
+            res.files.append(fr)
+            apath = os.path.join(out_dir, relpath)
+            if not os.path.exists(apath):
+                fr.failures.append("missing output file")
+                continue
+            ref_t = load_table(os.path.join(root, fn))
+            act_t = load_table(apath)
+            if relpath in spec.custom:
+                fr.failures.extend(spec.custom[relpath](act_t, ref_t, spec))
+                fr.n_values = act_t.n_rows * act_t.n_cols
+            else:
+                diff_tables(act_t, ref_t, spec, fr)
+    if any(not f.ok for f in res.files):
+        res.status = "fail"
+    return res
+
+
+def run_case(spec: CaseSpec, out_root: str) -> CaseResult:
+    """Run one case end-to-end and diff against its reference tree."""
+    from palace_tpu import api
+
+    out_dir = os.path.join(out_root, spec.name)
+    t0 = time.time()
+    eff = spec
+    if spec.max_rows is None and not math.isinf(spec.rtol):
+        mr = _eigen_max_rows(spec.config_path())
+        if mr is not None:
+            eff = CaseSpec(**{**spec.__dict__, "max_rows": mr})
+    try:
+        api.run(spec.config_path(), output_dir=out_dir)
+        res = diff_tree(out_dir, eff)
+    except Exception:
+        res = CaseResult(spec.name, status="error",
+                         error=traceback.format_exc(limit=12))
+    res.seconds = time.time() - t0
+    return res
+
+
+def format_results(results: List[CaseResult]) -> str:
+    lines = [f"{'case':42s} {'status':7s} {'time':>7s} {'max_rel':>9s} "
+             f"{'fails':>6s}"]
+    for r in results:
+        lines.append(
+            f"{r.name:42s} {r.status:7s} {r.seconds:6.1f}s "
+            f"{r.max_rel:9.2e} {r.n_failures():6d}")
+    npass = sum(1 for r in results if r.status == "pass")
+    lines.append(f"-- {npass}/{len(results)} pass")
+    return "\n".join(lines)
