@@ -310,15 +310,89 @@ def solve(iodata: IoData, output_dir: str | None = None):
     metadata.save_problem(post_dir, "Driven", mesh.num_elements,
                           sop.space.num_dofs)
     metadata.save_excitations(post_dir, excitations)
-    metadata.save_solver(post_dir, len(sols), 0)
+    ksp_info = getattr(sweep_uniform_device, "_last_info", None) or {}
+    metadata.save_solver(post_dir, len(sols), ksp_info.get("total_its", 0))
     metadata.save_timing(post_dir)
     print_log(iodata, f"driven done in {time.time() - t0:.1f}s")
     return dict(post_dir=post_dir, num_dofs=sop.space.num_dofs,
                 freqs_ghz=freqs_ghz, measurements=measurements)
 
 
+#: dof count above which "Default" selects the device iterative path over
+#: host sparse-direct (reference analog: ksp.cpp:30-229 builds GMG+FGMRES as
+#: the production default; direct solvers are the coarse/small fallback).
+DEVICE_KSP_MIN_DOFS = 20000
+
+
+def use_device_ksp(iodata, num_dofs: int) -> bool:
+    lin = iodata.solver.linear
+    t = lin.type.lower()
+    if t in ("superlu", "strumpack", "mumps"):
+        return False
+    if t in ("gmg", "multigrid", "ams"):
+        return True
+    return num_dofs >= DEVICE_KSP_MIN_DOFS
+
+
 def sweep_uniform(iodata, sop: SpaceOperator, omegas, excitations, skip=0
                   ) -> Dict[Tuple[int, int], np.ndarray]:
+    sweep_uniform_device._last_info = None
+    if use_device_ksp(iodata, sop.space.num_dofs):
+        try:
+            return sweep_uniform_device(iodata, sop, omegas, excitations,
+                                        skip=skip)
+        except Exception as e:  # pragma: no cover - robustness fallback
+            print_log(iodata, f"  device ksp failed ({e!r}); "
+                              "falling back to sparse-direct sweep")
+    return sweep_uniform_direct(iodata, sop, omegas, excitations, skip=skip)
+
+
+def sweep_uniform_device(iodata, sop: SpaceOperator, omegas, excitations,
+                         skip=0) -> Dict[Tuple[int, int], np.ndarray]:
+    """Device-resident frequency-blocked FGMRES + p-multigrid sweep: the
+    production TPU path (reference: drivensolver.cpp:78-233 with the
+    FGMRES+GMG solver of ksp.cpp:30-229; here all frequencies of the sweep
+    are solved as one blocked Krylov system on the accelerator)."""
+    from palace_tpu.linalg.device_ksp import BlockedDeviceSolver
+    from palace_tpu.post import metadata
+    from palace_tpu.utils import timers
+
+    lin = iodata.solver.linear
+    solver = BlockedDeviceSolver(
+        sop.space, iodata.boundaries.pec, sop.driven_terms(omegas), omegas,
+        sop.ess_mask,
+        tol=lin.tol, max_its=lin.max_its,
+        restart=(lin.max_size if lin.max_size > 0 else 30),
+        smooth_order=(lin.mg_smooth_order if lin.mg_smooth_order > 0 else 4),
+        smooth_its=lin.mg_smooth_its, use_aux=lin.mg_use_aux,
+        coarsening=lin.mg_coarsening, max_levels=lin.mg_max_levels,
+        log=lambda s: print_log(iodata, s))
+    ex_list = list(excitations)
+    nfreq = len(omegas)
+    sols: Dict[Tuple[int, int], np.ndarray] = {}
+    total_its = 0
+    for k, ex in enumerate(ex_list):
+        todo = [i for i in range(nfreq) if k * nfreq + i >= skip]
+        if not todo:
+            continue
+        rhs1 = sop.rhs1(ex)
+        rhs = np.empty((sop.space.num_dofs, nfreq), complex)
+        for i, omega in enumerate(omegas):
+            b = 1j * omega * rhs1
+            if sop.wave_ports:
+                b = b + sop.waveport_rhs2(ex, omega)
+            rhs[:, i] = b
+        X, info = solver.solve(rhs)
+        total_its += int(info["iterations"].sum())
+        for i in todo:
+            sols[(ex, i)] = X[:, i]
+    sweep_uniform_device._last_info = {"total_its": total_its,
+                                       "solves": len(sols)}
+    return sols
+
+
+def sweep_uniform_direct(iodata, sop: SpaceOperator, omegas, excitations,
+                         skip=0) -> Dict[Tuple[int, int], np.ndarray]:
     """Frequency loop (reference: drivensolver.cpp:78-233): one sparse-direct
     factorization per frequency with geometric nested-dissection ordering
     (the host analog of the reference's METIS-ordered SuperLU_DIST path),

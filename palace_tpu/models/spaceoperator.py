@@ -372,6 +372,94 @@ class SpaceOperator:
         free = sp.diags((~self.ess_mask).astype(float))
         return (free @ A2 @ free).tocsr()
 
+    # -- term-structured system (device solver) ------------------------------
+
+    def driven_terms(self, omegas=None) -> list:
+        """The full driven system as constant real matrices with complex
+        frequency coefficients, A(omega) = sum_t c_t(omega) X_t — the input
+        of the device FGMRES + p-MG stack (linalg/device_ksp.py).  Covers
+        exactly the same physics as system_csr + the *_a2_csr extras
+        (reference: drivensolver.cpp:176-181 GetExtraSystemOperator)."""
+        from palace_tpu.linalg.device_ksp import Term
+
+        shifted = self.iodata.solver.linear.pc_mat_shifted
+        terms = [Term("K", self._combine(self.K_dom, self.K_bdr),
+                      coef=lambda w: 1.0 + 0.0j)]
+        Ct = self._combine(self.C_dom, self.C_bdr)
+        if Ct:
+            terms.append(Term("C", Ct, coef=lambda w: 1.0j * w))
+        terms.append(Term("M", self._combine(self.M_re, self.M_bdr),
+                          coef=lambda w: -(w * w) + 0.0j,
+                          bcoef=(lambda w: w * w + 0.0j) if shifted else None))
+        if self.M_im is not None:
+            terms.append(Term("M_im", self._combine(self.M_im, []),
+                              coef=lambda w: -1.0j * (w * w)))
+        for idx, wp in self.wave_ports.items():
+            if not wp.active:
+                continue
+            tb = self._wp_trace_bases[idx]
+            bk = self._waveport_mass_bucket(idx, tb)
+            kn_re = (lambda w, _wp=wp: float(_wp.solve_mode(w).kn.real))
+            terms.append(Term(f"waveport{idx}",
+                              self._combine(None, [bk]),
+                              coef=lambda w, f=kn_re: 1.0j * f(w)))
+        for si, (bk, sigma, mu, h) in enumerate(self._conductivity):
+            def c_cond(w, sigma=sigma, mu=mu, h=h):
+                delta = math.sqrt(2.0 / (mu * sigma * w))
+                zre = zim = 1.0 / (sigma * delta)
+                if h > 0.0:
+                    nu = h / delta
+                    den = math.cosh(nu) - math.cos(nu)
+                    zre *= (math.sinh(nu) + math.sin(nu)) / den
+                    zim *= (math.sinh(nu) - math.sin(nu)) / den
+                return 1.0j * w / complex(zre, zim)
+
+            terms.append(Term(f"conductivity{si}",
+                              self._combine(None, [bk]), coef=c_cond))
+        if self._abc2_tb is not None:
+            bk = self._abc2_curl_bucket()
+            terms.append(Term("abc2", self._combine(None, [bk]),
+                              coef=lambda w: 1.0j * 0.5 / w))
+        return terms
+
+    def _waveport_mass_bucket(self, idx: int, tb):
+        """mu^-1 boundary mass on the wave-port surface (frequency
+        independent; the i*kn(omega) scale lives in the term coefficient)."""
+        from palace_tpu.fem.nd_boundary import boundary_mass_bucket
+
+        tr = tb.tr
+        attrs = np.empty(len(tr.elem), np.int32)
+        for bi, b in enumerate(self.mesh.buckets):
+            s = tr.bucket == bi
+            attrs[s] = b.attr[tr.elem[s]]
+        muinv = self.materials.attr_tensor(self.materials.inv_permeability,
+                                           attrs)
+        return boundary_mass_bucket(tb, muinv)
+
+    def _abc2_curl_bucket(self):
+        """(mu^-1 c)_nn-weighted tangential-curl bucket for the 2nd-order
+        absorbing BC (the 1/omega scale lives in the term coefficient)."""
+        from palace_tpu.fem.nd_boundary import boundary_curl_bucket
+
+        tb = self._abc2_tb
+        tr = tb.tr
+        attrs = np.empty(len(tr.elem), np.int32)
+        for bi, b in enumerate(self.mesh.buckets):
+            s = tr.bucket == bi
+            attrs[s] = b.attr[tr.elem[s]]
+        coef = np.empty(len(tr.elem))
+        cache = {}
+        for k, a in enumerate(attrs):
+            a = int(a)
+            if a not in cache:
+                mi = self.materials.inv_permeability[a]
+                eps = self.materials.permittivity[a]
+                c = _matsqrt(np.linalg.inv(np.linalg.inv(mi) @ eps))
+                cache[a] = mi @ c
+            nbar = tr.normal[k].mean(axis=0)
+            coef[k] = float(nbar @ cache[a] @ nbar)
+        return boundary_curl_bucket(tb, coef)
+
     def waveport_a2_csr(self, omega: float) -> Optional[sp.csr_matrix]:
         """A2(omega) = sum_ports i kn_re (mu^-1 u_t, v_t) on port surfaces."""
         if not self.wave_ports:
