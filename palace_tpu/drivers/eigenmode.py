@@ -102,8 +102,25 @@ def solve(iodata: IoData, output_dir: str | None = None):
                                         k_req, tol=cfg.tol)
                 omega = -1j * result.eigenvalues  # lam = i omega
             else:
-                result = shift_invert_eigs(Kcsr, Mcsr, ess, omega_t ** 2,
-                                           k_req, tol=cfg.tol)
+                from palace_tpu.drivers.driven import use_device_ksp
+
+                lossless_linear = (probeA2 is None and sop.M_im is None)
+                if lossless_linear and use_device_ksp(iodata,
+                                                      space.num_dofs):
+                    from palace_tpu.linalg.device_eig import (
+                        device_shift_invert_eigs)
+
+                    result = device_shift_invert_eigs(
+                        space, list(iodata.boundaries.pec),
+                        sop._combine(sop.K_dom, sop.K_bdr),
+                        sop._combine(sop.M_re, sop.M_bdr),
+                        sop.ess_mask, omega_t ** 2, k_req, tol=cfg.tol,
+                        nconv=min(k_req, cfg.n + 4),
+                        log=lambda s: print_log(iodata, s))
+                else:
+                    result = shift_invert_eigs(Kcsr, Mcsr, ess,
+                                               omega_t ** 2, k_req,
+                                               tol=cfg.tol)
                 omega = np.sqrt(result.eigenvalues.astype(complex))
             keep = (np.real(omega) > max(1e-8, 1e-3 * abs(omega_t)))
             if probeA2 is not None:

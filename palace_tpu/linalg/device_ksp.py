@@ -216,7 +216,7 @@ class BlockedDeviceSolver:
         self.tol = tol
         self.max_its = max_its
         self.restart = min(restart, max_its)
-        self.max_block = min(max_block, len(self.omegas))
+        self.max_block = max_block
         self.log = log or (lambda s: None)
         self.terms = terms
         mesh = space.mesh
@@ -454,25 +454,40 @@ class BlockedDeviceSolver:
 
         return jax.jit(solve)
 
-    def solve(self, rhs: np.ndarray) -> Tuple[np.ndarray, Dict]:
-        """rhs: (n, F_all) complex over self.omegas.  Returns (X, info)."""
+    def apply_fine(self, coef_vec: np.ndarray, X) -> jnp.ndarray:
+        """y = (sum_t coef_vec[t] X_t) @ X on the fine level, free-restricted
+        (for residual/Rayleigh-Ritz computations by the eigensolver)."""
+        fine = self._levels[0]
+        free = fine["free"][:, None]
+        c = jnp.asarray(np.tile(np.asarray(coef_vec, complex)[:, None],
+                                (1, X.shape[1])))
+        return free * fine["apply"](c, free * jnp.asarray(X))
+
+    def solve(self, rhs: np.ndarray, omega_idx: Optional[np.ndarray] = None
+              ) -> Tuple[np.ndarray, Dict]:
+        """rhs: (n, F) complex; column f is a right-hand side at
+        self.omegas[omega_idx[f]] (default omega_idx = arange: one column
+        per sweep frequency).  Returns (X, info)."""
         if self._solve_fn is None:
             self._solve_fn = self._build_solve()
-        n, F_all = rhs.shape
-        assert F_all == len(self.omegas)
+        n, F = rhs.shape
+        omega_idx = (np.arange(F) if omega_idx is None
+                     else np.asarray(omega_idx, int))
+        assert len(omega_idx) == F
         Fb = self.max_block
-        X = np.empty((n, F_all), np.complex128)
-        info = {"iterations": np.zeros(F_all, int), "relres": np.zeros(F_all)}
-        for start in range(0, F_all, Fb):
-            idx = np.arange(start, min(start + Fb, F_all))
+        X = np.empty((n, F), np.complex128)
+        info = {"iterations": np.zeros(F, int), "relres": np.zeros(F)}
+        for start in range(0, F, Fb):
+            idx = np.arange(start, min(start + Fb, F))
             # Pad the chunk to the fixed block width (repeat last column) so
             # every chunk hits the same compiled executable.
             pad = np.concatenate([idx, np.full(Fb - len(idx), idx[-1])])
-            coefs = jnp.asarray(self._coefs_all[:, pad])
-            bcoefs = jnp.asarray(self._bcoefs_all[:, pad])
-            lmaxs = jnp.asarray(self._lmax_all[:, pad])
-            aux_lmaxs = jnp.asarray(self._aux_lmax_all[:, pad])
-            self._active_lus = [self._coarse_lus[f] for f in pad]
+            om = omega_idx[pad]
+            coefs = jnp.asarray(self._coefs_all[:, om])
+            bcoefs = jnp.asarray(self._bcoefs_all[:, om])
+            lmaxs = jnp.asarray(self._lmax_all[:, om])
+            aux_lmaxs = jnp.asarray(self._aux_lmax_all[:, om])
+            self._active_lus = [self._coarse_lus[f] for f in om]
             b = jnp.asarray(rhs[:, pad])
             x, iters, relres, done = self._solve_fn(coefs, bcoefs, lmaxs,
                                                     aux_lmaxs, b)
@@ -480,12 +495,11 @@ class BlockedDeviceSolver:
             info["iterations"][idx] = np.asarray(iters)[:len(idx)]
             info["relres"][idx] = np.asarray(relres)[:len(idx)]
             if not bool(jnp.all(done)):
-                bad = [int(pad[f]) for f in range(Fb)
-                       if not bool(done[f])]
+                bad = [int(pad[f]) for f in range(Fb) if not bool(done[f])]
                 self.log(f"  device ksp WARNING: no convergence at sample(s) "
                          f"{bad} (relres {float(jnp.max(relres)):.2e})")
             self.log(f"  device ksp: samples {idx[0] + 1}-{idx[-1] + 1}"
-                     f"/{F_all}: iterations "
+                     f"/{F}: iterations "
                      f"{list(np.asarray(iters)[:len(idx)])}, relres max "
                      f"{float(np.max(np.asarray(relres))):.2e}")
         return X, info
