@@ -229,7 +229,8 @@ class H1Space:
     # -- basis tables --------------------------------------------------------
 
     def basis(self, geom: Geom) -> ref.NodalBasis:
-        return ref.nodal_basis(geom, self.order, ref.lattice(geom, self.order))
+        return ref.nodal_basis(geom, self.order,
+                               ref.fem_nodes(geom, self.order))
 
     # -- boundary dofs --------------------------------------------------------
 
@@ -266,7 +267,7 @@ class H1Space:
         out = np.zeros((self.num_dofs, sdim))
         for b, ed in zip(self.mesh.buckets, self.elem_dofs):
             gb = ref.gmsh_geometry_basis(b.etype)
-            lat = ref.lattice(b.geom, self.order)
+            lat = ref.fem_nodes(b.geom, self.order)
             B = gb.eval(lat)  # (nd, ngeo)
             X = self.mesh.nodes[b.conn]  # (E, ngeo, sdim)
             xd = np.einsum("nk,eks->ens", B, X)

@@ -221,6 +221,44 @@ def lattice(geom: Geom, p: int) -> np.ndarray:
 
 
 @functools.lru_cache(maxsize=None)
+def gauss_lobatto_1d(p: int) -> np.ndarray:
+    """Closed Gauss-Lobatto points on [0, 1], p + 1 of them (the MFEM
+    BasisType::GaussLobatto 1D point set)."""
+    if p <= 1:
+        return np.linspace(0.0, 1.0, max(p, 1) + 1)
+    from scipy.special import roots_jacobi
+
+    xi, _ = roots_jacobi(p - 1, 1.0, 1.0)
+    return np.concatenate([[0.0], 0.5 * (xi + 1.0), [1.0]])
+
+
+@functools.lru_cache(maxsize=None)
+def fem_nodes(geom: Geom, p: int) -> np.ndarray:
+    """Nodal placement of the order-p H1 Lagrange dofs: closed Gauss-Lobatto,
+    matching MFEM's default H1_FECollection basis (reference FE node
+    construction: mfem H1_TriangleElement/H1_TetrahedronElement place node
+    (i, j, k) at cp[i]/w with w = sum of the barycentric cp's; tensor
+    elements use the 1D product).  The PLACEMENT changes the discrete
+    Dirichlet trace wherever boundary data is discontinuous (e.g. the
+    terminal/ground junction of cavity2d electrostatic), so matching it is
+    required for regression parity — the spanned space is unchanged.
+
+    Enumeration order matches :func:`lattice_multi_index`.
+    """
+    mi = lattice_multi_index(geom, p)
+    if p == 0:
+        return lattice(geom, p)
+    cp = gauss_lobatto_1d(p)
+    if geom in (Geom.LINE, Geom.QUAD, Geom.HEX):
+        return cp[mi]
+    if geom in (Geom.TRI, Geom.TET):
+        rem = p - mi.sum(axis=1)
+        w = cp[mi].sum(axis=1) + cp[rem]
+        return cp[mi] / w[:, None]
+    return lattice(geom, p)
+
+
+@functools.lru_cache(maxsize=None)
 def lattice_multi_index(geom: Geom, p: int) -> np.ndarray:
     """Integer lattice multi-indices (ndof, dim) with entries in [0, p]."""
     if geom is Geom.LINE:

@@ -44,7 +44,7 @@ class H1Prolongation:
         self.P_local: List[jnp.ndarray] = []
         for b in fine.mesh.buckets:
             cb = coarse.basis(b.geom)
-            fn = ref.lattice(b.geom, fine.order)
+            fn = ref.fem_nodes(b.geom, fine.order)
             self.P_local.append(jnp.asarray(cb.eval(fn)))  # (nd_f, nd_c)
         # Multiplicity of each fine dof (number of contributing elements).
         mult = np.zeros(fine.num_dofs)

@@ -118,8 +118,10 @@ class CurlCurlOperator:
                 X = mesh.nodes[b.conn[tr.elem[sel]]]
                 J = np.einsum("ens,enqr->eqsr", X, Gg.transpose(0, 2, 1, 3))
                 Jinv = smallmat.inv(J)
-                # d^T J^{-T} v_ref = (J^{-1} d) . v_ref
-                Jd = np.einsum("eqrs,s->eqr", Jinv, d)
+                # d^T J^{-T} v_ref = (J^{-1} d) . v_ref (in-plane direction
+                # truncated to the mesh's space dimension for 2D problems)
+                ds = np.asarray(d, float)[: J.shape[-1]]
+                Jd = np.einsum("eqrs,s->eqr", Jinv, ds)
                 contrib = np.einsum("eqr,eqnr,eq->en", Jd, V, tr.wdetJ[sel])
                 np.add.at(
                     rhs, space.elem_dofs[bi][tr.elem[sel]].ravel(), contrib.ravel()
