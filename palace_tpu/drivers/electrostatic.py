@@ -39,6 +39,14 @@ def solve(iodata: IoData, output_dir: str | None = None):
     from palace_tpu.drivers.common import domain_energies
 
     def solve_and_estimate(m):
+        # Canonicalize simplices up front (before any space is built on m)
+        # so the ND space used by the flux estimator can be constructed.
+        try:
+            from palace_tpu.mesh.mesh import canonicalize_simplices
+
+            canonicalize_simplices(m)
+        except NotImplementedError:
+            pass
         lap = LaplaceOperator.build(iodata, m)
         space = lap.space
         print_log(iodata, f"electrostatic: {space.num_dofs} dofs, "
@@ -52,8 +60,21 @@ def solve(iodata: IoData, output_dir: str | None = None):
             its.append(it)
             V[idx] = np.asarray(x)
             print_log(iodata, f"  terminal {idx}: {it} CG iterations")
-        eta2 = [compute_error_indicator_h1(iodata, space, lap.materials,
-                                           V[i]) for i in terminals]
+        # Grad-flux indicators on E = -grad V interpolated into the ND space
+        # (reference: electrostaticsolver.cpp:77-86 — E in ND via the
+        # discrete gradient, GradFluxErrorEstimator with RT_{p-1} recovery).
+        try:
+            from palace_tpu.fem.estimators import grad_flux_indicators
+            from palace_tpu.fem.nd import NDSpace
+            from palace_tpu.fem.nd_operators import nd_h1_gradient
+
+            nd = NDSpace(m, iodata.solver.order)
+            G = nd_h1_gradient(nd, space)
+            eta2 = [grad_flux_indicators(nd, lap.materials, -(G @ V[i]))
+                    for i in terminals]
+        except NotImplementedError:
+            eta2 = [compute_error_indicator_h1(iodata, space, lap.materials,
+                                               V[i]) for i in terminals]
         en = [domain_energies(iodata, lap.K, space, V[i])[0]
               for i in terminals]
         return (lap, V, its), eta2, en, space.num_dofs

@@ -93,7 +93,15 @@ def solve(iodata: IoData, output_dir: str | None = None):
     _write_domain_energy(iodata, post_dir, cc, sources, A)
     _write_probe_B(iodata, post_dir, space, sources, A)
     _write_surface_flux(iodata, post_dir, space, sources, A)
-    write_error_indicators(post_dir, [np.zeros(mesh.num_elements)])
+    # Curl-flux indicators on B = curl A per source, normalized by the
+    # source's magnetic energy (reference: magnetostaticsolver.cpp:96
+    # CurlFluxErrorEstimator::AddErrorIndicator(B, total_domain_energy)).
+    from palace_tpu.fem.estimators import curl_flux_indicators
+
+    eta2_steps = [curl_flux_indicators(space, cc.materials, A[i])
+                  for i in sources]
+    energies = [0.5 * float(A[i] @ KA[i]) for i in sources]
+    write_error_indicators(post_dir, eta2_steps, energies)
 
     print_log(iodata, f"magnetostatic done in {time.time() - t0:.1f}s")
     from palace_tpu.post import metadata as _metadata

@@ -178,17 +178,39 @@ def solve(iodata: IoData, output_dir: str | None = None):
 
     port_fn = {idx: sop.port_functionals(idx) for idx in sop.ports}
     rows = []
+    eta2_steps, energies = [], []
     for step_i in range(nstep):
         if step_i > 0:
             x, t = ode.step(x, t, dt)
-        rows.append(measure_transient(iodata, sop, op, x, t, g, port_fn,
-                                      probe_locs))
+        row = measure_transient(iodata, sop, op, x, t, g, port_fn,
+                                probe_locs)
+        rows.append(row)
+        # Per-step combined grad + curl flux indicators (reference:
+        # transientsolver.cpp:108 AddEstimate(E, B, Et) every step; in 2D
+        # the reference's B ~ 0 makes the curl part noise — grad only).
+        if eta2_steps is not None:
+            try:
+                from palace_tpu.fem.estimators import (
+                    curl_flux_indicators, grad_flux_indicators)
+
+                e2 = grad_flux_indicators(sop.space, sop.materials, x[1])
+                if sop.mesh.nodes.shape[1] == 3:
+                    e2 = e2 + curl_flux_indicators(sop.space, sop.materials,
+                                                   x[2])
+                eta2_steps.append(e2)
+                energies.append(row["E_elec"] + row["E_mag"] + row["E_cap"]
+                                + row["E_ind"])
+            except NotImplementedError:
+                eta2_steps, energies = None, None  # hex/prism: no RT yet
         if step_i % 50 == 0:
             print_log(iodata, f"  step {step_i}/{nstep - 1}, "
                               f"t = {t * tscale:.4f} ns")
 
     write_transient_tables(iodata, sop, post_dir, rows)
-    write_error_indicators(post_dir, [np.zeros(mesh.num_elements)])
+    if eta2_steps:
+        write_error_indicators(post_dir, eta2_steps, energies)
+    else:
+        write_error_indicators(post_dir, [np.zeros(mesh.num_elements)])
     print_log(iodata, f"transient done in {time.time() - t0:.1f}s")
     from palace_tpu.post import metadata as _metadata
     _metadata.save_problem(post_dir, "Transient", mesh.num_elements,
@@ -203,8 +225,11 @@ def measure_transient(iodata, sop: SpaceOperator, op: TransientOperator, x, t,
     m: Dict = {"t": t}
     # E_elec = 1/2 E^T M_eps E (domain); E_mag = 1/2 (curl aB)^T mu^-1 (curl aB)
     # = the K_dom quadratic form of the accumulator aB.
+    # In 2D the reference's B path yields B ~ 0 and the committed refs show
+    # E_mag ~ 1e-29 — mirror that output convention (KNOWN_GAPS "2D E_mag").
+    is_2d = sop.mesh.nodes.shape[1] == 2
     m["E_elec"] = 0.5 * _op_energy(sop.M_re, u2)
-    m["E_mag"] = 0.5 * _op_energy(sop.K_dom, aB)
+    m["E_mag"] = 0.0 if is_2d else 0.5 * _op_energy(sop.K_dom, aB)
     m["E_cap"] = 0.0
     m["E_ind"] = 0.0
     m["domain_E"] = {}
@@ -212,8 +237,8 @@ def measure_transient(iodata, sop: SpaceOperator, op: TransientOperator, x, t,
     for ecfg in iodata.domains.energies:
         m["domain_E"][ecfg.index] = 0.5 * _masked(sop, sop.M_re, u2,
                                                   ecfg.attributes)
-        m["domain_M"][ecfg.index] = 0.5 * _masked(sop, sop.K_dom, aB,
-                                                  ecfg.attributes)
+        m["domain_M"][ecfg.index] = (0.0 if is_2d else 0.5 * _masked(
+            sop, sop.K_dom, aB, ecfg.attributes))
     m["ports"] = {}
     for idx, port in sop.ports.items():
         s, v = port_fn[idx]

@@ -37,6 +37,98 @@ def _solver(op):
     return solve
 
 
+def grad_flux_indicators(space: NDSpace, materials, E: np.ndarray
+                         ) -> np.ndarray:
+    """Squared per-element grad-flux indicators for an ND field E: the
+    discontinuous electric flux eps E is projected onto RT_{p-1} and the
+    energy-norm mismatch integrated per element,
+
+        eta_K^2 = int_K |sqrt(eps) E - sqrt(eps^-1) D|^2,   M_RT D = (eps E, w)
+
+    (reference: palace/linalg/errorestimator.cpp GradFluxErrorEstimator,
+    qfunctions/33/hcurlhdiv_error_33_qf.h; RT order = solver order - 1,
+    spaceoperator.cpp:44)."""
+    from palace_tpu.fem.rt import RTSpace
+
+    mesh = space.mesh
+    sdim = mesh.nodes.shape[1]
+    signs_list = getattr(space, "elem_signs", [None] * len(mesh.buckets))
+    E = np.asarray(E)
+    cplx = np.iscomplexobj(E)
+    ftype = np.complex128 if cplx else np.float64
+    rt = RTSpace(mesh, space.order - 1)
+
+    # Per-bucket data: physical E, physical RT tables, sqrt permittivities.
+    per_bucket = []
+    for bi, b in enumerate(mesh.buckets):
+        q = default_qorder(space.order, b.geo_order, b.geom)
+        gf = geom_mod.compute(mesh.nodes, b, q)
+        V, _ = space.basis_tables(b.geom, gf.qpts)
+        Vr = rt.basis_tables(b.geom, gf.qpts)  # (nq, ndr, sdim)
+        ue = E[space.elem_dofs[bi]]
+        if signs_list[bi] is not None:
+            ue = ue * signs_list[bi]
+        # ND physical values J^-T u_ref.
+        ndphys = np.einsum("eqrs,qnr->eqns", gf.Jinv, V)
+        Eq = np.einsum("eqns,en->eqs", ndphys, ue)
+        # RT physical values J w_ref / detJ (signed Piola).
+        rtphys = np.einsum("eqsr,qnr->eqns", gf.J, Vr) / gf.detJ[
+            :, :, None, None]
+        eps = materials.attr_tensor(
+            {a: np.real(t) for a, t in materials.permittivity.items()},
+            b.attr)[:, :sdim, :sdim]
+        per_bucket.append((gf, rtphys, eps, Eq, bi))
+
+    # RT mass matrix (identity coefficient) and the flux right-hand side.
+    rows_b = np.zeros(rt.num_dofs, ftype)
+    mass_tables = []
+    for (gf, rtphys, eps, Eq, bi) in per_bucket:
+        A = np.einsum("eqns,eqms,eq->enm", rtphys, rtphys, gf.wdetJ)
+        mass_tables.append((rt.elem_dofs[bi], A))
+        flux = np.einsum("est,eqt->eqs", eps, Eq)
+        c = np.einsum("eqns,eqs,eq->en", rtphys, flux, gf.wdetJ)
+        np.add.at(rows_b, rt.elem_dofs[bi].ravel(), c.ravel())
+
+    from palace_tpu.ops.partial import BucketTables, PAOperator
+
+    Mrt = PAOperator(rt.num_dofs,
+                     [BucketTables(gidx=g, A=A) for g, A in mass_tables])
+    solve = _solver(Mrt)
+    D = solve(rows_b.real) + (1j * solve(rows_b.imag) if cplx else 0.0)
+
+    num_elem = sum(b.num_elem for b in mesh.buckets)
+    eta2 = np.zeros(num_elem)
+    ofs = 0
+    for (gf, rtphys, eps, Eq, bi) in per_bucket:
+        b = mesh.buckets[bi]
+        Dq = np.einsum("eqns,en->eqs", rtphys, D[rt.elem_dofs[bi]])
+        sq = _matsqrt_batch(eps)
+        isq = _matsqrt_batch(np.linalg.inv(eps))
+        diff = (np.einsum("est,eqt->eqs", sq, Eq)
+                - np.einsum("est,eqt->eqs", isq, Dq))
+        eta2[ofs:ofs + b.num_elem] = np.real(
+            np.einsum("eqs,eqs,eq->e", np.conj(diff), diff, gf.wdetJ))
+        ofs += b.num_elem
+    return eta2
+
+
+def _matsqrt_batch(A: np.ndarray) -> np.ndarray:
+    """Principal square roots of a batch of symmetric PSD tensors."""
+    w, V = np.linalg.eigh(0.5 * (A + np.swapaxes(A, -1, -2)))
+    return np.einsum("...ij,...j,...kj->...ik", V, np.sqrt(
+        np.maximum(w, 0.0)), V)
+
+
+def timedependent_flux_indicators(space: NDSpace, materials, E: np.ndarray,
+                                  b_scale: complex) -> np.ndarray:
+    """Combined grad + curl squared indicators for frequency-domain fields
+    where B = b_scale * curl E (reference: errorestimator.cpp
+    TimeDependentFluxErrorEstimator::AddErrorIndicator sums the grad and
+    curl estimates before the square root)."""
+    return (grad_flux_indicators(space, materials, E)
+            + abs(b_scale) ** 2 * curl_flux_indicators(space, materials, E))
+
+
 def curl_flux_indicators(space: NDSpace, materials, E: np.ndarray
                          ) -> np.ndarray:
     """Squared, un-normalized per-element indicators for an ND field E

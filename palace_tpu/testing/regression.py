@@ -455,6 +455,19 @@ def diff_tree(out_dir: str, spec: CaseSpec) -> CaseResult:
             if relpath in spec.custom:
                 fr.failures.extend(spec.custom[relpath](act_t, ref_t, spec))
                 fr.n_values = act_t.n_rows * act_t.n_cols
+            elif fn == "error-indicators.csv":
+                # Indicator values are energy-normalized relative errors
+                # computed through an iterative flux projection the reference
+                # stops at EstimatorTol = 1e-6 (configfile.hpp:1050).  Below
+                # ~10x that tolerance the committed values are solver
+                # truncation noise (verified: cavity2d magnetostatic ref Norm
+                # 4.8e-6 ~ their CG tol; ours at tol 1e-10 lands at 5e-10),
+                # so the comparison gets a noise-floor absolute tolerance.
+                import dataclasses
+
+                spec_i = dataclasses.replace(
+                    spec, atol=max(spec.atol, 1.0e-5))
+                diff_tables(act_t, ref_t, spec_i, fr)
             else:
                 diff_tables(act_t, ref_t, spec, fr)
     if any(not f.ok for f in res.files):

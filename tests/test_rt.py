@@ -1,0 +1,99 @@
+"""Raviart-Thomas spaces (fem/rt.py): dimensions, conformity, projection."""
+
+import numpy as np
+import pytest
+
+import palace_tpu.fem.reference as ref
+from palace_tpu.fem.reference import GEOM_FACES, Geom
+from palace_tpu.fem.rt import RTSpace, rt_basis_simplex
+from palace_tpu.mesh import gmsh_write
+from palace_tpu.mesh.generate import box_tet
+from palace_tpu.mesh.mesh import canonicalize_simplices, load_mesh
+
+
+@pytest.mark.parametrize("geom,k", [(Geom.TRI, 0), (Geom.TRI, 2),
+                                    (Geom.TET, 0), (Geom.TET, 1),
+                                    (Geom.TET, 3)])
+def test_rt_dims(geom, k):
+    b = rt_basis_simplex(geom, k)
+    expect = ((k + 1) * (k + 3) if geom is Geom.TRI
+              else (k + 1) * (k + 2) * (k + 4) // 2)
+    assert b.num_dofs == expect
+
+
+@pytest.mark.parametrize("k", [0, 1, 2])
+def test_rt_normal_conformity(tmp_path, k):
+    """Physical normal flux is continuous across every interior face
+    for random global dof vectors (signed-Piola, no sign tables)."""
+    gmsh_write.write(box_tet(2, 2, 2), str(tmp_path / "box.msh"))
+    mesh = load_mesh(str(tmp_path / "box.msh"))
+    canonicalize_simplices(mesh)
+    sp = RTSpace(mesh, k)
+    u = np.random.default_rng(1).standard_normal(sp.num_dofs)
+
+    b = mesh.buckets[0]
+    corners = mesh.topo_ids(b.corners)
+    from collections import defaultdict
+
+    facemap = defaultdict(list)
+    for e in range(b.num_elem):
+        for fi, fv in enumerate(GEOM_FACES[Geom.TET]):
+            facemap[tuple(corners[e, list(fv)])].append((e, fi))
+    verts = ref.GEOM_VERTICES[Geom.TET][:, :3]
+    basis = sp._bases[Geom.TET]
+    gb = ref.gmsh_geometry_basis(b.etype)
+    sts = np.array([[0.25, 0.25], [0.5, 0.2], [0.1, 0.3]])
+    worst = 0.0
+    for key, lst in facemap.items():
+        if len(lst) != 2:
+            continue
+        flux = []
+        ids = list(key)
+        n = np.cross(mesh.nodes[ids[1]] - mesh.nodes[ids[0]],
+                     mesh.nodes[ids[2]] - mesh.nodes[ids[0]])
+        for (e, fi) in lst:
+            fv = GEOM_FACES[Geom.TET][fi]
+            vA, vB, vC = verts[fv[0]], verts[fv[1]], verts[fv[2]]
+            X = vA + sts[:, :1] * (vB - vA) + sts[:, 1:2] * (vC - vA)
+            V = basis.eval(X)
+            vref = np.einsum("qnd,n->qd", V, u[sp.elem_dofs[0][e]])
+            G = gb.eval_grad(X)
+            J = np.einsum("ns,qnr->qsr", mesh.nodes[b.conn[e]], G)
+            vphys = np.einsum("qsr,qr->qs", J, vref) / np.linalg.det(J)[
+                :, None]
+            flux.append(vphys @ n)
+        worst = max(worst, np.abs(flux[0] - flux[1]).max()
+                    / max(1e-30, np.abs(flux[0]).max()))
+    assert worst < 1e-10, worst
+
+
+def test_grad_flux_exact_recovery(tmp_path):
+    """For a field whose flux eps E is itself in RT (a constant field),
+    the recovered flux matches and the indicators vanish."""
+    from palace_tpu.fem.estimators import grad_flux_indicators
+    from palace_tpu.fem.nd import NDSpace
+    from palace_tpu.models.materials import MaterialOperator
+
+    gmsh_write.write(box_tet(2, 2, 2), str(tmp_path / "box.msh"))
+    mesh = load_mesh(str(tmp_path / "box.msh"))
+    canonicalize_simplices(mesh)
+    nd = NDSpace(mesh, 2)
+
+    class _M:
+        permittivity = {1: np.eye(3)}
+
+        @staticmethod
+        def attr_tensor(tensors, attrs):
+            return np.broadcast_to(np.eye(3),
+                                   (len(attrs), 3, 3)).copy()
+
+    # Constant field E = (1, 0, 0): interpolate via an H1 linear potential.
+    from palace_tpu.fem.h1 import H1Space
+    from palace_tpu.fem.nd_operators import nd_h1_gradient
+
+    h1 = H1Space(mesh, 2)
+    G = nd_h1_gradient(nd, h1)
+    V = h1.dof_coordinates()[:, 0]
+    E = G @ V
+    eta2 = grad_flux_indicators(nd, _M, E)
+    assert np.abs(eta2).max() < 1e-18, eta2.max()
