@@ -90,6 +90,38 @@ class TransientOperator:
         return k1, k2
 
 
+class SDIRK23:
+    """2-stage singly-diagonally-implicit Runge-Kutta (MFEM SDIRK23Solver
+    with gamma_opt = 2, the L-stable gamma = (2 - sqrt(2))/2; reference:
+    timeoperator.cpp:324-330 TimeSteppingScheme::RUNGE_KUTTA).
+
+    Butcher tableau: a11 = g; a21 = 1 - 2g, a22 = g; b = (1/2, 1/2),
+    c = (g, 1 - g)."""
+
+    def __init__(self, op: TransientOperator, gamma_opt: int = 2):
+        self.op = op
+        if gamma_opt == 2:
+            self.g = (2.0 - math.sqrt(2.0)) / 2.0  # L-stable
+        elif gamma_opt == 0:
+            self.g = (3.0 - math.sqrt(3.0)) / 6.0  # 3rd order, not A-stable
+        else:
+            self.g = (3.0 + math.sqrt(3.0)) / 6.0  # 3rd order, A-stable
+
+    def step(self, x, t, dt):
+        op = self.op
+        g = self.g
+        u1, u2, aB = x
+        k1_1, k1_2 = op.implicit_solve(g * dt, u1, u2, t + g * dt)
+        k1_B = u2 + g * dt * k1_2
+        c = dt * (1.0 - 2.0 * g)
+        k2_1, k2_2 = op.implicit_solve(g * dt, u1 + c * k1_1, u2 + c * k1_2,
+                                       t + (1.0 - g) * dt)
+        k2_B = (u2 + c * k1_2) + g * dt * k2_2
+        h = 0.5 * dt
+        return ((u1 + h * (k1_1 + k2_1), u2 + h * (k1_2 + k2_2),
+                 aB + h * (k1_B + k2_B)), t + dt)
+
+
 class GeneralizedAlpha:
     """MFEM first-order generalized-alpha (rho_inf = 1: alpha_m = alpha_f =
     gamma = 1/2, the implicit midpoint family)."""
@@ -159,9 +191,14 @@ def solve(iodata: IoData, output_dir: str | None = None):
     nstep = int(round(max_t / dt)) + 1
 
     op = TransientOperator(iodata, sop, dg)
-    if cfg.type not in ("Default", "GeneralizedAlpha"):
-        raise NotImplementedError(f"transient scheme {cfg.type}")
-    ode = GeneralizedAlpha(op)
+    if cfg.type in ("Default", "GeneralizedAlpha"):
+        ode = GeneralizedAlpha(op)
+    elif cfg.type in ("RungeKutta", "SDIRK23"):
+        ode = SDIRK23(op)
+    else:
+        raise NotImplementedError(
+            f"transient scheme {cfg.type} (ARKODE/CVODE adaptive stepping "
+            "is not implemented; reference: timeoperator.cpp:332-373)")
 
     n = sop.space.num_dofs
     x = (np.zeros(n), np.zeros(n), np.zeros(n))

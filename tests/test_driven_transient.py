@@ -191,3 +191,71 @@ def test_driven_restart(tmp_path):
     run(base, output_dir=str(tmp_path / "out"))
     again = open(tmp_path / "out" / "port-S.csv").read()
     assert again == full
+
+
+class _ScalarOscillator:
+    """Forced damped oscillator M u1' = -(K u2 + C u1) + g'(t),  u2' = u1,
+    through the same implicit_solve interface as TransientOperator."""
+
+    def __init__(self, K=400.0, C=1.5):
+        self.K, self.C = K, C
+
+    def dJ(self, t):
+        return math.exp(-0.5 * ((t - 0.5) / 0.1) ** 2)
+
+    def rhs(self, u1, u2, t):
+        return -(self.K * u2 + self.C * u1) + self.dJ(t)
+
+    def implicit_solve(self, dt, u1, u2, t):
+        A = 1.0 + dt * dt * self.K + dt * self.C
+        k1 = (self.rhs(u1, u2, t) - dt * self.K * u1) / A
+        return k1, u1 + dt * k1
+
+
+def test_sdirk23_second_order():
+    """SDIRK23 (MFEM RUNGE_KUTTA, timeoperator.cpp:324-330) integrates the
+    forced oscillator at observed order 2 with the L-stable gamma."""
+    from palace_tpu.drivers.transient import SDIRK23
+    from scipy.integrate import solve_ivp
+
+    op = _ScalarOscillator()
+    ref = solve_ivp(
+        lambda t, y: [op.rhs(y[0], y[1], t), y[0]], (0.0, 1.0), [0.0, 0.0],
+        rtol=1e-12, atol=1e-14).y[:, -1]
+
+    errs = []
+    for nstep in (50, 100, 200):
+        ode = SDIRK23(op)
+        x, t = (0.0, 0.0, 0.0), 0.0
+        for _ in range(nstep):
+            x, t = ode.step(x, t, 1.0 / nstep)
+        errs.append(abs(x[1] - ref[1]) + abs(x[0] - ref[0]))
+    r1 = math.log2(errs[0] / errs[1])
+    r2 = math.log2(errs[1] / errs[2])
+    assert 1.7 < r1 < 2.4 and 1.7 < r2 < 2.4, (errs, r1, r2)
+    # aB accumulates u2: check against the trapezoid of the reference run
+    assert errs[-1] < 1e-4
+
+
+def test_transient_sdirk23_driver_smoke(tmp_path):
+    """RungeKutta scheme runs through the transient driver and tracks
+    Generalized-alpha on a short window (both 2nd order; loose tol since the
+    local error constants differ)."""
+    from palace_tpu.api import run
+
+    sols = {}
+    for name in ("GeneralizedAlpha", "RungeKutta"):
+        path = make_case(str(tmp_path), {"Type": "Transient"}, {
+            "Transient": {"Type": name,
+                          "Excitation": "ModulatedGaussian",
+                          "ExcitationFreq": 10.0, "ExcitationWidth": 0.08,
+                          "MaxTime": 0.08, "TimeStep": 0.002},
+            "Linear": {"Tol": 1e-10, "MaxIts": 300},
+        })
+        res = run(path, output_dir=str(tmp_path / f"out_{name}"))
+        rows = res["rows"]
+        sols[name] = np.array([r["ports"][2]["V"] for r in rows])
+    a, b = sols["GeneralizedAlpha"], sols["RungeKutta"]
+    scale = np.abs(a).max()
+    assert scale > 0 and np.isfinite(b).all()
+    assert np.abs(a - b).max() < 5e-2 * scale, np.abs(a - b).max() / scale
