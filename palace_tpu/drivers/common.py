@@ -100,8 +100,37 @@ def make_output_dir(iodata: IoData, output_dir: Optional[str]) -> str:
 
 def solve_spd(iodata: IoData, eliminated_op, raw_op, b, ess_mask
               ) -> Tuple[jnp.ndarray, int]:
-    """CG with Jacobi preconditioning for SPD systems."""
+    """CG with Jacobi preconditioning for SPD systems.
+
+    With more than one visible device, routes through the dof-sharded
+    multi-chip CG (parallel/dofsharded.py — SFC partition, packed interior
+    blocks, interface-only psum; the production analog of the reference's
+    hypre ParCSR solves over MPI, palace/linalg/rap.hpp:18-39)."""
     ln = iodata.solver.linear
+    import jax
+
+    if (jax.device_count() > 1
+            and os.environ.get("PALACE_TPU_MULTICHIP", "1") != "0"
+            and getattr(raw_op, "space", None) is not None
+            and raw_op.mode == "element"):
+        from palace_tpu.parallel import dofsharded as _ds
+
+        cache = getattr(raw_op, "_dofsharded_cache", None)
+        if cache is None:
+            dmesh = _ds.make_cells_mesh()
+            part = _ds.partition_for_space(raw_op.space,
+                                           dmesh.shape["cells"])
+            shop = _ds.shard_pa_operator(raw_op, part, dmesh)
+            cache = raw_op._dofsharded_cache = (part, dmesh, shop)
+        part, dmesh, shop = cache
+        x, its, relres, _ = _ds.solve_spd_sharded(
+            raw_op, np.asarray(b), np.asarray(ess_mask), mesh=dmesh,
+            part=part, sharded=shop, tol=ln.tol,
+            max_its=max(ln.max_its, 1000))
+        if relres > ln.tol:
+            print_log(iodata, f"  WARNING: sharded CG did not converge "
+                              f"(relres={relres:.2e})")
+        return jnp.asarray(x), its
     M = jacobi(raw_op.diagonal(), jnp.asarray(ess_mask))
     res = cg(eliminated_op, b, M=M, tol=ln.tol, max_its=max(ln.max_its, 1000))
     if not bool(res.converged):

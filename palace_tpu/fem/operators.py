@@ -83,7 +83,9 @@ def h1_operator(
         buckets.append(
             BucketTables(gidx=ed, B=B, G=G, qd_diffp=qd_diffp, qd_mass=qd_mass)
         )
-    return PAOperator(space.num_dofs, buckets, dtype, mode=mode)
+    op = PAOperator(space.num_dofs, buckets, dtype, mode=mode)
+    op.space = space  # for locality partitioning (parallel/dofsharded.py)
+    return op
 
 
 def _small_abt(A: np.ndarray, B: np.ndarray) -> np.ndarray:
