@@ -77,11 +77,9 @@ def prepare_mesh(iodata: IoData) -> Mesh:
                       f"  WARNING: {info.n_interior_seam_edges} interior "
                       "seam edges remain coupled")
     if iodata.boundaries.periodic:
-        kv = iodata.boundaries.floquet_wave_vector
-        if kv is not None and any(abs(k) > 0 for k in kv):
-            raise NotImplementedError(
-                "Floquet phase (nonzero FloquetWaveVector) is not supported "
-                "yet; plain periodic boundaries are")
+        # Floquet phase (nonzero FloquetWaveVector) is handled by the
+        # SpaceOperator volume terms on the plainly-identified periodic mesh
+        # (E_phys = E_per e^{-ik.x}; models/spaceoperator.py:_build_floquet).
         from palace_tpu.mesh.periodic import apply_periodic
 
         n = apply_periodic(mesh, iodata.boundaries.periodic,

@@ -121,13 +121,15 @@ def measure_step(sop: SpaceOperator, E: np.ndarray, omega: float,
     is_2d = sop.mesh.nodes.shape[1] == 2
     m.E_elec = 0.5 * quad(sop.M_re, [], E)
     m.E_mag = (0.0 if is_2d
-               else 0.5 * quad(sop.K_dom, [], E) / (omega * omega))
+               else 0.5 * (quad(sop.K_dom, [], E)
+                           + sop.floquet_mag_quad(E, omega)) / (omega * omega))
 
     for ecfg in sop.iodata.domains.energies:
         m.domain_E[ecfg.index] = 0.5 * _masked_energy(sop, sop.M_re, E,
                                                       ecfg.attributes)
-        m.domain_M[ecfg.index] = (0.0 if is_2d else 0.5 * _masked_energy(
-            sop, sop.K_dom, E, ecfg.attributes) / (omega ** 2))
+        m.domain_M[ecfg.index] = (0.0 if is_2d else 0.5 * (
+            _masked_energy(sop, sop.K_dom, E, ecfg.attributes)
+            + sop.floquet_mag_quad(E, omega, ecfg.attributes)) / (omega ** 2))
 
     for idx, port in sop.ports.items():
         pm = PortMeasurement()

@@ -104,7 +104,10 @@ def solve(iodata: IoData, output_dir: str | None = None):
             else:
                 from palace_tpu.drivers.driven import use_device_ksp
 
-                lossless_linear = (probeA2 is None and sop.M_im is None)
+                # Floquet terms make K complex (non-Hermitian-Lanczos);
+                # stay on the host shift-invert path for those.
+                lossless_linear = (probeA2 is None and sop.M_im is None
+                                   and sop.K_flo_mass is None)
                 if lossless_linear and use_device_ksp(iodata,
                                                       space.num_dofs):
                     from palace_tpu.linalg.device_eig import (
@@ -123,6 +126,12 @@ def solve(iodata: IoData, output_dir: str | None = None):
                                                tol=cfg.tol)
                 omega = np.sqrt(result.eigenvalues.astype(complex))
             keep = (np.real(omega) > max(1e-8, 1e-3 * abs(omega_t)))
+            if sop.K_flo_mass is not None:
+                # Reference shift-invert installs an RG interval region
+                # [sigma, inf) (slepc.cpp:432-445): modes below the target
+                # are discarded, which excludes the Floquet quasi-periodic
+                # spurious gradient band (lam <= 2 k^T mu^-1 k / eps).
+                keep &= (np.real(omega) >= omega_t * (1.0 - 1e-9))
             if probeA2 is not None:
                 # Nonlinear case: the interpolated pencil sprays spurious
                 # anti-damped modes; keep the physical branch above the
@@ -236,7 +245,9 @@ def solve(iodata: IoData, output_dir: str | None = None):
             eta2.append(e2)
             E_elec = 0.5 * _quad(sop.M_re, x)
             E_mag = (0.0 if is_2d
-                     else 0.5 * _quad(sop.K_dom, x) / abs(omega[i]) ** 2)
+                     else 0.5 * (_quad(sop.K_dom, x)
+                                 + sop.floquet_mag_quad(
+                                     x, abs(omega[i]))) / abs(omega[i]) ** 2)
             E_cap = E_ind = 0.0
             for idx, port in sop.ports.items():
                 s, v = sop.port_functionals(idx)
@@ -335,7 +346,9 @@ def _write_domain_energy(iodata, sop, post_dir, omega, modes, Kcsr, Mcsr):
         Ee = 0.5 * _quad(sop.M_re, x)
         # 2D: mirror the reference's zero B-energy output convention
         # (committed 2D refs have E_mag ~ 1e-16; see KNOWN_GAPS).
-        Em = 0.0 if is_2d else 0.5 * _quad(sop.K_dom, x) / abs(omega[i]) ** 2
+        Em = (0.0 if is_2d else
+              0.5 * (_quad(sop.K_dom, x) + sop.floquet_mag_quad(
+                  x, abs(omega[i]))) / abs(omega[i]) ** 2)
         Ec = Ei = 0.0
         for idx, port in sop.ports.items():
             s, v = sop.port_functionals(idx)
@@ -352,8 +365,10 @@ def _write_domain_energy(iodata, sop, post_dir, omega, modes, Kcsr, Mcsr):
         td.col("Ei").data.append(Ei * Escale)
         for ecfg in iodata.domains.energies:
             EeA = 0.5 * _masked_quad(sop, sop.M_re, x, ecfg.attributes)
-            EmA = (0.0 if is_2d else 0.5 * _masked_quad(
-                sop, sop.K_dom, x, ecfg.attributes) / abs(omega[i]) ** 2)
+            EmA = (0.0 if is_2d else 0.5 * (
+                _masked_quad(sop, sop.K_dom, x, ecfg.attributes)
+                + sop.floquet_mag_quad(x, abs(omega[i]), ecfg.attributes)
+            ) / abs(omega[i]) ** 2)
             td.col(f"Ee{ecfg.index}").data.append(EeA * Escale)
             td.col(f"pe{ecfg.index}").data.append(EeA / Ee if Ee > 0 else 0.0)
             td.col(f"Em{ecfg.index}").data.append(EmA * Escale)

@@ -121,7 +121,68 @@ def nd_operator(
             Ac = _assemble(C, Wc)
             A = Ac if A is None else A + Ac
         buckets.append(BucketTables(gidx=ed, A=A, signs=sg))
-    return PAOperator(space.num_dofs, buckets, dtype, mode=mode)
+    op = PAOperator(space.num_dofs, buckets, dtype, mode=mode)
+    op.space = space  # for locality partitioning (parallel/dofsharded.py)
+    return op
+
+
+def nd_cross_operator(
+    space: NDSpace,
+    coef: Dict[int, np.ndarray],
+    *,
+    dtype=jnp.float64,
+    qorder: Optional[int] = None,
+) -> PAOperator:
+    """Antisymmetric mixed curl form (Q u, curl v) - (Q curl u, v) on ND.
+
+    The Floquet quasi-periodic stiffness cross term with Q = mu^-1 [k x]
+    (reference: palace/models/spaceoperator.cpp:302-306
+    MixedVectorWeakCurlIntegrator + negated MixedVectorCurlIntegrator,
+    coefficient mat_muinvkx from materialoperator.cpp:351).
+
+    Pullbacks: value u = J^-T u_ref, curl u = (1/detJ) J curl_ref u_ref, so
+    (Q u, curl v) has qdata w * sign(detJ) * J^T Q J^-T and
+    (Q curl u, v) is its Q -> Q^T transpose.
+    """
+    mesh = space.mesh
+    sdim = mesh.nodes.shape[1]
+    if sdim != 3:
+        raise NotImplementedError(
+            "Floquet cross term is 3D-only (reference: "
+            "materialoperator.cpp:390-392)")
+    signs_list = getattr(space, "elem_signs", [None] * len(mesh.buckets))
+    buckets: List[BucketTables] = []
+    for b, ed, sg in zip(mesh.buckets, space.elem_dofs, signs_list):
+        p = space.order
+        q = qorder or default_qorder(p, b.geo_order, b.geom)
+        gf = geometry.compute(mesh.nodes, b, q)
+        V, C = space.basis_tables(b.geom, gf.qpts)
+        Q = _per_elem_tensor(coef, b.attr, sdim)
+        JT = gf.Jp.transpose(1, 0, 2, 3)  # (r, s, E, nq): J^T planar
+        wsgn = gf.w[None, :] * np.sign(gf.detJ)
+        WB = _planar_sandwich(JT, Q, gf.Jinvp, wsgn)  # J^T Q J^-T
+        WD = _planar_sandwich(JT, Q.transpose(0, 2, 1), gf.Jinvp, wsgn)
+        B = _assemble_mixed(C, V, WB)
+        D = _assemble_mixed(C, V, WD).transpose(0, 2, 1)
+        buckets.append(BucketTables(gidx=ed, A=B - D, signs=sg))
+    op = PAOperator(space.num_dofs, buckets, dtype, mode="element")
+    op.space = space
+    return op
+
+
+def _assemble_mixed(L: np.ndarray, R: np.ndarray, Wp: np.ndarray) -> np.ndarray:
+    """A[e]_ij = sum_q L_q[i]^T W_q R_q[j] with distinct left/right tables
+    (both (nq, nd, d)); Wp planar (d, d, E, nq)."""
+    nq, nd, d = L.shape
+    E = Wp.shape[2]
+    S = (
+        L.transpose(2, 0, 1)[:, None, :, :, None]
+        * R.transpose(2, 0, 1)[None, :, :, None, :]
+    ).reshape(d * d * nq, nd * nd)
+    W = np.ascontiguousarray(
+        np.moveaxis(Wp.reshape(d * d, E, nq), 1, 0)
+    ).reshape(E, d * d * nq)
+    return (W @ S).reshape(E, nd, nd)
 
 
 def _assemble(G: np.ndarray, Wp: np.ndarray) -> np.ndarray:

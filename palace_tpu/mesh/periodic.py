@@ -89,10 +89,18 @@ def apply_periodic(mesh: Mesh, pairs, length_scale: float) -> int:
                        tol)
         else:
             if p.translation is None:
-                raise ValueError(
-                    "periodic pair needs Translation or AffineTransform "
-                    "(automatic detection not implemented)")
-            t = np.asarray(p.translation, float)[:sdim] / length_scale
+                # Automatic translation detection from the surface geometry
+                # (reference: geodata.cpp DeterminePeriodicVertexMapping —
+                # centroid offset, validated by the node match below).
+                t = (mesh.nodes[recv].mean(axis=0)
+                     - mesh.nodes[donor].mean(axis=0)) * length_scale
+                if np.linalg.norm(t) < tol:
+                    raise ValueError(
+                        "periodic pair translation auto-detection failed "
+                        "(coincident surface centroids); set Translation")
+            else:
+                t = np.asarray(p.translation, float)[:sdim]
+            t = t[:sdim] / length_scale
             # Translation maps donor -> receiver (receiver = donor + t);
             # accept either sign convention.
             try:

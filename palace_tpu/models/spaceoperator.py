@@ -145,6 +145,97 @@ class SpaceOperator:
         self.C_dom = (
             nd_operator(self.space, mass_coef=m.conductivity) if has_sigma else None
         )
+        self._build_floquet()
+
+    def _build_floquet(self):
+        """Quasi-periodic (Bloch/Floquet) volume terms.  The substitution
+        E_phys = E_per exp(-i k.x) turns curl-curl into
+        (mu^-1 curl u, curl v) + ((kx)^T mu^-1 kx u, v)
+        + i[(mu^-1 kx u, curl v) - (mu^-1 kx curl u, v)]
+        (reference: spaceoperator.cpp:1038-1056 Add{Real,Imag}Periodic-
+        Coefficients, materialoperator.cpp:351-358,371-446).  With
+        FloquetReferenceFrequency, k = k0*omega and the terms scale with
+        omega^2 / omega (driven only; materialoperator.cpp:394-427)."""
+        self.K_flo_mass = None
+        self.K_flo_cross = None
+        self.floquet_k: Optional[np.ndarray] = None
+        self.floquet_omega_ref = 0.0
+        kF_cfg = self.iodata.boundaries.floquet_wave_vector
+        if kF_cfg is None or not np.linalg.norm(kF_cfg) > 0:
+            return
+        sdim = self.mesh.nodes.shape[1]
+        if sdim != 3:
+            raise NotImplementedError(
+                "Floquet wave vector requires a 3D mesh (reference: "
+                "materialoperator.cpp:390-392)")
+        from palace_tpu.config.schema import ProblemType
+
+        ptype = self.iodata.problem.type
+        if ptype not in (ProblemType.DRIVEN, ProblemType.EIGENMODE):
+            raise ValueError(
+                "Floquet quasi-periodicity is only available for driven or "
+                "eigenmode solves (reference: materialoperator.cpp:386-389)")
+        from palace_tpu.config import ValueType
+
+        units = self.iodata.units
+        k = np.asarray(kF_cfg, float)[:3] * units.mesh_length_scale
+        fref = self.iodata.boundaries.floquet_reference_frequency
+        wref = (2.0 * math.pi * fref / units.scale_factor(ValueType.FREQUENCY)
+                if fref > 0.0 else 0.0)
+        if wref > 0.0 and ptype is not ProblemType.DRIVEN:
+            raise ValueError("FloquetReferenceFrequency requires Driven")
+        if wref == 0.0:
+            # BZ wrap to [-pi/L, pi/L] per axis (materialoperator.cpp:406-420).
+            bb = self.mesh.nodes.max(axis=0) - self.mesh.nodes.min(axis=0)
+            for i in range(3):
+                half = math.pi / bb[i] if bb[i] > 0 else math.inf
+                if abs(k[i]) > half:
+                    k[i] = math.remainder(k[i], 2.0 * half)
+        else:
+            k = k / wref  # k0 = k_F / omega_ref
+        self.floquet_omega_ref = wref
+        self.floquet_k = k
+        kx = np.array([[0.0, -k[2], k[1]],
+                       [k[2], 0.0, -k[0]],
+                       [-k[1], k[0], 0.0]])
+        m = self.materials
+        q_mass = {a: kx.T @ mi @ kx for a, mi in m.inv_permeability.items()}
+        q_cross = {a: mi @ kx for a, mi in m.inv_permeability.items()}
+        from palace_tpu.fem.nd_operators import nd_cross_operator
+
+        self.K_flo_mass = nd_operator(self.space, mass_coef=q_mass)
+        self.K_flo_cross = nd_cross_operator(self.space, q_cross)
+        self._flo_mass_csr_cache = None
+        self._flo_cross_csr_cache = None
+
+    def floquet_csrs(self):
+        """(mass_csr, cross_csr) of the Floquet volume terms (cached)."""
+        if self._flo_mass_csr_cache is None:
+            self._flo_mass_csr_cache = self._csr(
+                self._combine(self.K_flo_mass, []))
+            self._flo_cross_csr_cache = self._csr(
+                self._combine(self.K_flo_cross, []))
+        return self._flo_mass_csr_cache, self._flo_cross_csr_cache
+
+    def floquet_mag_quad(self, x, omega: float, attrs=None) -> float:
+        """Extra magnetic-energy quadratic form Re x^H (Fm + i Fc) x from the
+        Floquet substitution B = (curl E - i k x E)/(i omega) (reference:
+        linalg/floquetcorrection.hpp:28-33 — the |k x E|^2 and cross pieces
+        of the B energy).  With FloquetReferenceFrequency, k = k0*omega."""
+        if self.K_flo_mass is None:
+            return 0.0
+        s = omega if self.floquet_omega_ref > 0.0 else 1.0
+        x = np.ascontiguousarray(x, complex)
+        em = self.K_flo_mass.element_energy(x)
+        ec = self.K_flo_cross.element_energy(x)
+        tot = 0.0
+        for b, e1, e2 in zip(self.mesh.buckets, em, ec):
+            v = 2.0 * (s * s * np.real(np.asarray(e1))
+                       - s * np.imag(np.asarray(e2)))
+            if attrs is not None:
+                v = v * np.isin(b.attr, attrs)
+            tot += float(np.sum(v))
+        return tot
 
     def _build_boundary(self):
         """Robin boundary buckets for K (1/Ls), C (1/Rs + absorbing invz0),
@@ -269,7 +360,11 @@ class SpaceOperator:
         ).tocsr()
 
     def stiffness_csr(self) -> sp.csr_matrix:
-        return self._csr(self._combine(self.K_dom, self.K_bdr))
+        K = self._csr(self._combine(self.K_dom, self.K_bdr))
+        if self.K_flo_mass is not None and self.floquet_omega_ref == 0.0:
+            Fm, Fc = self.floquet_csrs()
+            K = (K + Fm + 1j * Fc).tocsr()
+        return K
 
     def damping_csr(self) -> Optional[sp.csr_matrix]:
         t = self._combine(self.C_dom, self.C_bdr)
@@ -290,6 +385,11 @@ class SpaceOperator:
         A = K.astype(complex) - (omega * omega) * M
         if C is not None:
             A = A + 1j * omega * C
+        if self.K_flo_mass is not None and self.floquet_omega_ref > 0.0:
+            # Frequency-scaled Floquet terms with k0 = k_F/omega_ref
+            # (reference: spaceoperator.cpp:425-427,459-461).
+            Fm, Fc = self.floquet_csrs()
+            A = A + (omega * omega) * Fm + 1j * omega * Fc
         free = sp.diags((~self.ess_mask).astype(float))
         one = sp.diags(self.ess_mask.astype(float))
         return (free @ A @ free + one).tocsr()
@@ -388,6 +488,16 @@ class SpaceOperator:
         Ct = self._combine(self.C_dom, self.C_bdr)
         if Ct:
             terms.append(Term("C", Ct, coef=lambda w: 1.0j * w))
+        if self.K_flo_mass is not None:
+            wref = self.floquet_omega_ref
+            terms.append(Term(
+                "floquet_mass", self._combine(self.K_flo_mass, []),
+                coef=(lambda w: w * w + 0.0j) if wref > 0.0
+                else (lambda w: 1.0 + 0.0j)))
+            terms.append(Term(
+                "floquet_cross", self._combine(self.K_flo_cross, []),
+                coef=(lambda w: 1.0j * w) if wref > 0.0
+                else (lambda w: 1.0j)))
         terms.append(Term("M", self._combine(self.M_re, self.M_bdr),
                           coef=lambda w: -(w * w) + 0.0j,
                           bcoef=(lambda w: w * w + 0.0j) if shifted else None))
