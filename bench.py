@@ -1,20 +1,25 @@
-"""Headline benchmark: H(curl) curl-curl+mass operator apply throughput.
+"""Headline benchmark: H(curl) curl-curl operator apply throughput.
 
 The innermost hot operation of every driver (reference: the libCEED operator
 apply, palace/fem/libceed/operator.cpp:148-214, benchmarked by
-test/unit/test-libceed.cpp:1260-1440).  Two matrix-free formulations are
-timed at the BASELINE north-star order p = 3:
+test/unit/test-libceed.cpp:1260-1440), at the BASELINE north-star order
+p = 3 on ~490k dofs.
 
-  - element: dense per-element matrices, one batched matmul (nd^2 per
-    element streamed from HBM each apply);
-  - qdata: libCEED-style quadrature partial assembly with shared basis
-    tables (only ~nq d^2 per element streamed; ~10x less traffic at p = 3).
+Headline path: the STRUCTURED-MESH stencil convolution
+(palace_tpu/ops/structured.py) — on a uniform box hex mesh the assembled
+operator is translation invariant, so the apply is one
+`lax.conv_general_dilated` over a (B, C, nx, ny, nz) dof lattice with
+C = 3 p^3 channels: a dense MXU workload with NO gathers (the per-row
+dynamic-slice issue cost, ~10 ns/row on v5e, bounded the round-1
+unstructured formulation at 4.1 GDOF/s; see PERF_NOTES.md).
 
-Both are HBM-bandwidth bound; vs_baseline reports achieved/model where the
-model streams each formulation's tables once per apply at HBM speed
-(1.0 = memory speed of light for that formulation on this chip).
+vs_baseline = achieved / roofline-model of this formulation, where the
+model time is max(conv FLOPs at peak MXU rate, u+y streamed once at HBM
+speed) — 1.0 means the stencil conv runs at this chip's speed of light.
+Measured r2 on v5e: 23.6 GDOF/s per vector at bf16, B = 512 (~50% of the
+conv FLOP roofline, 99 TFLOP/s sustained).
 
-Prints one JSON line for the faster formulation.
+Prints one JSON line.
 """
 
 from __future__ import annotations
@@ -30,7 +35,7 @@ def _sync(x):
     synchronize through remote-tunnel TPU transports)."""
     import jax.numpy as jnp
 
-    return float(jnp.sum(x))
+    return float(jnp.sum(jnp.real(x)))
 
 
 def _measure(apply, u, iters):
@@ -61,64 +66,51 @@ def main():
 
     from palace_tpu.fem.nd import NDSpace
     from palace_tpu.fem.nd_operators import nd_operator
-    from palace_tpu.mesh.generate import box_tet
-    from palace_tpu.mesh.mesh import canonicalize_simplices
-    from palace_tpu.ops.partial import _apply_jit
+    from palace_tpu.mesh.generate import box_hex
+    from palace_tpu.ops.structured import StructuredNDOperator
 
     platform = jax.devices()[0].platform
-    # ~16^3 x 6 = 25k tets at p = 3 (45 dofs/elem).
-    n = 16 if platform == "tpu" else 4
+    on_tpu = platform == "tpu"
+    # 18^3 hex cells at p = 3: 490k dofs, C = 81 lattice channels.
+    n = 18 if on_tpu else 4
     order = 3
-    mesh = box_tet(n, n, n)
-    canonicalize_simplices(mesh)
-    space = NDSpace(mesh, order)
-    eye = {1: np.eye(3)}
+    B = 512 if on_tpu else 8
+    dtype = jnp.bfloat16 if on_tpu else jnp.float32
+    iters = 20 if on_tpu else 5
 
-    dtype = jnp.float32
-    rng = np.random.default_rng(0)
-    u = jnp.asarray(rng.standard_normal(space.num_dofs).astype(np.float32))
-    iters = 200 if platform == "tpu" else 20
     kind = jax.devices()[0].device_kind.lower()
-    bw = (2.7e12 if "v5p" in kind or "v5 p" in kind else
-          8.2e11 if "lite" in kind or "v5e" in kind else
-          1.2e12) if platform == "tpu" else 5e10
+    if on_tpu:
+        bw = (2.7e12 if "v5p" in kind or "v5 p" in kind else
+              8.2e11 if "lite" in kind or "v5e" in kind else 1.2e12)
+        peak = (4.59e14 if "v5p" in kind or "v5 p" in kind else
+                1.97e14 if "lite" in kind or "v5e" in kind else 2.75e14)
+    else:
+        bw, peak = 5e10, 1e11
 
-    op = nd_operator(space, curl_coef=eye, mass_coef=eye)
-    t = op._tables[0]
-    A = t["A"].astype(dtype)
-    gidx = t["gidx"]
-    sc = op._scatter_tree
-    perm, seg = sc["perm"], sc["seg_ids"]
-    n = space.num_dofs
-    nbytes = A.size * 4 + gidx.size * 4 + perm.size * 4 + seg.size * 4
+    mesh = box_hex(n, n, n)
+    space = NDSpace(mesh, order)
+    op = nd_operator(space, curl_coef={1: np.eye(3)}, dtype=jnp.float64)
+    ess = np.zeros(space.num_dofs, bool)
+    ess[space.boundary_dofs([1, 2, 3, 4, 5, 6])] = True
+    N = space.num_dofs
 
-    # Blocked apply: B Krylov vectors at once (frequency batches / block
-    # Krylov).  Dynamic gathers on TPU are lane-inefficient for single
-    # vectors; wide row blocks amortize the hardware's per-row dynamic-slice
-    # issue cost (~10 ns/row measured on v5e, independent of index pattern
-    # and dtype), which is the true bottleneck of unstructured FEM applies
-    # on this chip: measured per-vector throughput 2.1 / 3.0 / 4.1 / 4.7
-    # GDOF/s at B = 128 / 256 / 512 / 1024 (f32; bf16 within 5%, the op is
-    # index-issue bound, not bandwidth bound).  B = 512 is the sweet spot —
-    # the TPU-native formulation of the halo gather/scatter (SURVEY P1/P4).
-    B = 512 if platform == "tpu" else 4
-    U = jnp.asarray(rng.standard_normal((n, B)).astype(np.float32))
+    sop = StructuredNDOperator.build(space, op, ess, dtype=dtype)
+    key = jax.random.PRNGKey(0)
+    lat = jax.random.normal(key, (B,) + sop.lat_gdof.shape, dtype)
 
-    def blocked_apply(u):
-        ul = u[gidx]  # (E, nd, B)
-        vl = jnp.einsum("enm,emb->enb", A, ul)
-        return jax.ops.segment_sum(vl.reshape(-1, B)[perm], seg,
-                                   num_segments=n, indices_are_sorted=True)
+    dt = _measure(sop, lat, iters) / B
+    gdofs = N / dt / 1e9
 
-    it_b = max(iters // 10, 5)
-    dt = _measure(blocked_apply, U, it_b) / B
-    gdofs = n / dt / 1e9
-    # Model: stream the element tables once per blocked apply plus the
-    # gathered/scattered local blocks, at HBM speed.
-    bytes_blocked = nbytes + 3 * gidx.size * B * 4
-    model = n * B / (bytes_blocked / bw) / 1e9
+    C = sop.W.shape[0]
+    ncell = n ** 3
+    itemsize = jnp.dtype(dtype).itemsize
+    flops = 2.0 * 27 * C * C * ncell  # per vector
+    bytes_ = 2.0 * C * ncell * itemsize  # u + y per vector
+    t_model = max(flops / peak, bytes_ / bw)
+    model = N / t_model / 1e9
     print(json.dumps({
-        "metric": f"hcurl_p{order}_apply_throughput_blocked{B}",
+        "metric": f"hcurl_p{order}_structured_stencil_apply_"
+                  f"{jnp.dtype(dtype).name}_b{B}",
         "value": round(gdofs, 4),
         "unit": "GDOF/s",
         "vs_baseline": round(gdofs / model, 4),

@@ -489,6 +489,16 @@ def run_case(spec: CaseSpec, out_root: str) -> CaseResult:
     try:
         api.run(spec.config_path(), output_dir=out_dir)
         res = diff_tree(out_dir, eff)
+    except FileNotFoundError as e:
+        if str(e).endswith(".msh'") or ".msh" in str(e):
+            # antenna/rings/transmon meshes are not shipped in the reference
+            # checkout (only Julia mesh.jl generators; no julia/gmsh in this
+            # environment) — distinguish from real failures.
+            res = CaseResult(spec.name, status="no-mesh",
+                             error=f"mesh not in reference checkout: {e}")
+        else:
+            res = CaseResult(spec.name, status="error",
+                             error=traceback.format_exc(limit=12))
     except Exception:
         res = CaseResult(spec.name, status="error",
                          error=traceback.format_exc(limit=12))
