@@ -133,16 +133,20 @@ def nd_cross_operator(
     dtype=jnp.float64,
     qorder: Optional[int] = None,
 ) -> PAOperator:
-    """Antisymmetric mixed curl form (Q u, curl v) - (Q curl u, v) on ND.
+    """Antisymmetric Floquet cross term -(B - B^T), B_ij = (Q u_j, curl v_i)
+    with Q = mu^-1 [k x] (reference: palace/models/spaceoperator.cpp:302-306
+    MixedVectorWeakCurl + transposed MixedVectorCurl integrators with
+    coefficient mat_muinvkx, materialoperator.cpp:351).
 
-    The Floquet quasi-periodic stiffness cross term with Q = mu^-1 [k x]
-    (reference: palace/models/spaceoperator.cpp:302-306
-    MixedVectorWeakCurlIntegrator + negated MixedVectorCurlIntegrator,
-    coefficient mat_muinvkx from materialoperator.cpp:351).
+    Consumed as K + i * (this): the Hermitian Bloch operator
+    K_cc + (kx)^T mu^-1 kx - i(B - B^T), which reproduces the exact Bloch
+    spectrum omega^2 = pi^2 (m^2+n^2) + (k + 2 pi l)^2 of a periodic PEC box
+    for BOTH propagation directions (the symmetric combination B + B^T
+    instead collapses the +-beta split and sprays spurious interior
+    eigenvalues — see tests/test_floquet.py traveling-mode check).
 
     Pullbacks: value u = J^-T u_ref, curl u = (1/detJ) J curl_ref u_ref, so
-    (Q u, curl v) has qdata w * sign(detJ) * J^T Q J^-T and
-    (Q curl u, v) is its Q -> Q^T transpose.
+    B has qdata w * sign(detJ) * J^T Q J^-T.
     """
     mesh = space.mesh
     sdim = mesh.nodes.shape[1]
@@ -161,10 +165,9 @@ def nd_cross_operator(
         JT = gf.Jp.transpose(1, 0, 2, 3)  # (r, s, E, nq): J^T planar
         wsgn = gf.w[None, :] * np.sign(gf.detJ)
         WB = _planar_sandwich(JT, Q, gf.Jinvp, wsgn)  # J^T Q J^-T
-        WD = _planar_sandwich(JT, Q.transpose(0, 2, 1), gf.Jinvp, wsgn)
         B = _assemble_mixed(C, V, WB)
-        D = _assemble_mixed(C, V, WD).transpose(0, 2, 1)
-        buckets.append(BucketTables(gidx=ed, A=B - D, signs=sg))
+        buckets.append(BucketTables(gidx=ed, A=B.transpose(0, 2, 1) - B,
+                                    signs=sg))
     op = PAOperator(space.num_dofs, buckets, dtype, mode="element")
     op.space = space
     return op

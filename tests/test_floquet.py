@@ -64,6 +64,20 @@ def test_floquet_box_modes(tmp_path):
     assert abs(fr[1] - f_exact) / f_exact < 6e-3, (fr, f_exact)
 
 
+def test_floquet_backward_branch(tmp_path):
+    """The backward Bloch branch beta = k - 2 pi must be in the spectrum:
+    omega^2 = pi^2 + (2 pi - k)^2.  The complex-SYMMETRIC cross-term variant
+    (B + B^T) collapses this branch entirely (cylinder_floquet initially
+    missed the reference's 3.19/3.32/3.81 GHz modes) — this pins the
+    Hermitian -i(B - B^T) form."""
+    kx = 2.0
+    r = run_case(tmp_path, kx, n_modes=1, target=24.5)
+    f_exact = C0 / (2 * math.pi * 1.0e-2) / 1e9 * math.sqrt(
+        math.pi ** 2 + (2 * math.pi - kx) ** 2)
+    f = float(np.real(np.asarray(r["frequencies_ghz"])[0]))
+    assert abs(f - f_exact) / f_exact < 2e-2, (f, f_exact)
+
+
 def test_floquet_bz_wrap_invariance(tmp_path):
     """k and k + 2*pi/L give the same spectrum (BZ wrapping,
     materialoperator.cpp:406-420)."""
