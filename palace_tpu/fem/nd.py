@@ -234,6 +234,21 @@ class NDSpace:
                 shapes.append((E, nd))
                 sign_blocks.append(signs)
                 continue
+            if b.geom is Geom.PRISM:
+                from palace_tpu.fem import nd_prism
+
+                geoms = {bb.geom for bb in mesh.buckets}
+                if Geom.HEX in geoms:
+                    raise NotImplementedError(
+                        "mixed prism + hex meshes alias quad-face dof "
+                        "variants (fem/nd_prism.py)")
+                keys, signs = nd_prism.prism_nd_keys_signs(
+                    order, mesh.topo_ids(b.corners).astype(np.int64), bid)
+                E, nd = signs.shape
+                all_keys.append(keys.reshape(E * nd, 7))
+                shapes.append((E, nd))
+                sign_blocks.append(signs)
+                continue
             if b.geom is Geom.TET:
                 fns = nd_basis_tet(order)
             elif b.geom is Geom.TRI:
@@ -286,6 +301,10 @@ class NDSpace:
             from palace_tpu.fem import nd_hex
 
             return nd_hex.hex_nd_eval(self.order, pts)
+        if geom is Geom.PRISM:
+            from palace_tpu.fem import nd_prism
+
+            return nd_prism.prism_nd_eval(self.order, pts)
         if geom is Geom.QUAD:
             from palace_tpu.fem import nd_hex
 

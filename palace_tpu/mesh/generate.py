@@ -111,3 +111,55 @@ def box_tet(nx=4, ny=4, nz=4, lx=1.0, ly=1.0, lz=1.0, sheet_j=None,
     bdr = [ElemBucket(2, Geom.TRI, 1, np.array(tris, np.int32),
                       np.array(attrs, np.int32))]
     return Mesh(hexm.nodes, buckets, bdr)
+
+
+def box_prism(nx=4, ny=4, nz=4, lx=1.0, ly=1.0, lz=1.0) -> Mesh:
+    """Box wedge mesh: each (i, j) footprint quad split into two triangles,
+    extruded along z (the layered structure fem/nd_prism.py requires).
+    Boundary attrs match box_hex: 1/2 x-min/max, 3/4 y-min/max, 5/6 z."""
+    from palace_tpu.fem.reference import Geom
+
+    xs = np.linspace(0, lx, nx + 1)
+    ys = np.linspace(0, ly, ny + 1)
+    zs = np.linspace(0, lz, nz + 1)
+    X, Y, Z = np.meshgrid(xs, ys, zs, indexing="ij")
+    nodes = np.stack([X.ravel(), Y.ravel(), Z.ravel()], -1)
+
+    def nid(i, j, k):
+        return (i * (ny + 1) + j) * (nz + 1) + k
+
+    tris = []  # footprint triangles as (i, j) corner index triples
+    for i in range(nx):
+        for j in range(ny):
+            tris.append(((i, j), (i + 1, j), (i + 1, j + 1)))
+            tris.append(((i, j), (i + 1, j + 1), (i, j + 1)))
+    conn = []
+    for t in tris:
+        for k in range(nz):
+            conn.append([nid(a, b, k) for (a, b) in t]
+                        + [nid(a, b, k + 1) for (a, b) in t])
+    buckets = [ElemBucket(6, Geom.PRISM, 1, np.array(conn, np.int32),
+                          np.ones(len(conn), np.int32))]
+
+    bt, btattr = [], []  # top/bottom caps: triangles
+    for t in tris:
+        bt.append([nid(a, b, 0) for (a, b) in t]); btattr.append(5)
+        bt.append([nid(a, b, nz) for (a, b) in t]); btattr.append(6)
+    bq, bqattr = [], []  # side walls: quads
+    for j in range(ny):
+        for k in range(nz):
+            bq.append([nid(0, j, k), nid(0, j + 1, k),
+                       nid(0, j + 1, k + 1), nid(0, j, k + 1)]); bqattr.append(1)
+            bq.append([nid(nx, j, k), nid(nx, j + 1, k),
+                       nid(nx, j + 1, k + 1), nid(nx, j, k + 1)]); bqattr.append(2)
+    for i in range(nx):
+        for k in range(nz):
+            bq.append([nid(i, 0, k), nid(i + 1, 0, k),
+                       nid(i + 1, 0, k + 1), nid(i, 0, k + 1)]); bqattr.append(3)
+            bq.append([nid(i, ny, k), nid(i + 1, ny, k),
+                       nid(i + 1, ny, k + 1), nid(i, ny, k + 1)]); bqattr.append(4)
+    bdr = [ElemBucket(2, Geom.TRI, 1, np.array(bt, np.int32),
+                      np.array(btattr, np.int32)),
+           ElemBucket(3, Geom.QUAD, 1, np.array(bq, np.int32),
+                      np.array(bqattr, np.int32))]
+    return Mesh(nodes, buckets, bdr)

@@ -237,6 +237,68 @@ def _simplex_node_perm(etype: int, perm: tuple) -> np.ndarray:
     return m
 
 
+def _prism_node_perm(etype: int, perm3: tuple) -> np.ndarray:
+    """Node re-indexing of a wedge under an in-plane vertex permutation
+    (applied to both triangle layers; z untouched)."""
+    geom, order, R = ref.gmsh_node_coords(etype)
+    V2 = np.array([[0.0, 0.0], [1.0, 0.0], [0.0, 1.0]])
+    lam = np.stack([1.0 - R[:, 0] - R[:, 1], R[:, 0], R[:, 1]], axis=1)
+    phi = np.concatenate([lam @ V2[list(perm3)], R[:, 2:3]], axis=1)
+    m = np.empty(len(R), np.int64)
+    for k in range(len(R)):
+        d = np.linalg.norm(R - phi[k], axis=1)
+        j = int(np.argmin(d))
+        assert d[j] < 1e-9, "prism node permutation match failed"
+        m[k] = j
+    return m
+
+
+def _canonicalize_prism_bucket(mesh: Mesh, b):
+    """In-plane canonicalization of a wedge bucket: permute the triangle
+    columns into ascending COLUMN RANK, where columns are the connected
+    chains of vertical (intra-prism) edges.  All prisms stacked on or
+    beside each other order any shared face's vertices identically (the
+    rank depends only on the column, not the layer), which is the
+    conformity precondition of fem/nd_prism.py — works for extruded meshes
+    regardless of the global node numbering."""
+    corners = mesh.topo_ids(b.conn[:, :6])
+    nv = int(mesh.topo_ids(np.arange(mesh.num_nodes)).max()) + 1 \
+        if mesh.num_nodes else 0
+    parent = np.arange(nv, dtype=np.int64)
+
+    def find(i):
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return i
+
+    for i in range(3):
+        for a, c in zip(corners[:, i], corners[:, 3 + i]):
+            ra, rc = find(int(a)), find(int(c))
+            if ra != rc:
+                parent[max(ra, rc)] = min(ra, rc)
+    col = np.fromiter((find(int(v)) for v in range(nv)), np.int64, nv)
+    rank_of = {c: r for r, c in enumerate(np.unique(col))}
+    rank = np.fromiter((rank_of[c] for c in col), np.int64, nv)
+
+    bot_rank = rank[corners[:, :3]]
+    if (np.sort(bot_rank, axis=1)[:, :-1]
+            == np.sort(bot_rank, axis=1)[:, 1:]).any():
+        raise NotImplementedError(
+            "prism mesh has merged vertical columns (two corners of one "
+            "wedge share a column); general prism orientations need "
+            "DofTransformations")
+    order = np.argsort(bot_rank, axis=1)
+    code = order[:, 0] * 9 + order[:, 1] * 3 + order[:, 2]
+    for c in np.unique(code):
+        rows = np.where(code == c)[0]
+        perm3 = tuple(int(x) for x in order[rows[0]])
+        if perm3 == (0, 1, 2):
+            continue
+        m = _prism_node_perm(b.etype, perm3)
+        b.conn[rows] = b.conn[rows][:, m]
+
+
 def canonicalize_simplices(mesh: Mesh):
     """Reorder every tet/tri element's nodes so corner vertices appear in
     increasing global index.
@@ -250,6 +312,9 @@ def canonicalize_simplices(mesh: Mesh):
     quadrature weights use |detJ|.
     """
     for b in mesh.buckets + mesh.bdr_buckets:
+        if b.geom is ref.Geom.PRISM:
+            _canonicalize_prism_bucket(mesh, b)
+            continue
         if b.geom not in (ref.Geom.TET, ref.Geom.TRI):
             continue
         nv = b.num_corners
