@@ -44,6 +44,8 @@ def combine_indicators(eta2_steps: Sequence[np.ndarray],
         else:
             combined = np.sqrt((combined**2 * n + eta**2) / (n + 1))
             n += 1
+    if combined is None:
+        return np.zeros(0), 0.0
     return combined, float(np.linalg.norm(combined))
 
 

@@ -1,17 +1,22 @@
 """Adaptive fast frequency sweep via projection-based reduced-order model
 (reference: palace/models/romoperator.cpp, palace/drivers/drivensolver.cpp:235-486).
 
-Offline: greedy sampling — solve the full (HDM) system at the endpoints and
-at the frequency maximizing the PROM residual, orthonormalizing solution
-vectors into the reduced basis V (CGS2, reference: romoperator.hpp:197-234);
-stop when the maximum relative residual over the sweep grid drops below
-AdaptiveTol or MaxSize is hit.  The residual norm of the PROM solution is
-evaluated exactly in the full space from the precomputed K V / C V / M V
-tall matrices (the role of the reference's minimal-rational-interpolation
-error surrogate, romoperator.hpp:128-131).
+Offline greedy sampling driven by minimal rational interpolation (MRI):
+the next high-fidelity sample is placed at the minimizer of the MRI
+denominator |Q(z)| = |sum_i q_i / (z - z_i)| (reference:
+romoperator.cpp:233-360 MinimalRationalInterpolation), the sample's true
+PROM error ||E - V y|| / ||E|| is recorded, and the loop stops after
+`AdaptiveConvergenceMemory` consecutive samples below AdaptiveTol
+(drivensolver.cpp:363-421).  HDM solutions are orthonormalized into the
+reduced basis V with CGS2 (romoperator.hpp:197-234).
 
-Online: per frequency solve the dense reduced system
-(V^H A(omega) V) z = V^H b(omega) and lift E = V z.
+Wave ports are supported through the factored form of their contribution
+A_wp(omega) = i sum_p k_np(omega) M_p with constant boundary-mass matrices
+M_p: the reduced projections V^H M_p V are updated with the basis and the
+online dense solve only evaluates the scalar k_np(omega)
+(reference: romoperator.hpp:177-187 Mwp_p / Mwp_p_r).
+
+Online: per frequency solve (V^H A(omega) V) z = V^H b(omega), E = V z.
 """
 
 from __future__ import annotations
@@ -36,97 +41,164 @@ def _orthonormalize(V: List[np.ndarray], w: np.ndarray) -> List[np.ndarray]:
     return V
 
 
+class MinimalRationalInterpolation:
+    """MRI of the frequency response used as the greedy error surrogate
+    (reference: romoperator.cpp:149-172 ComputeMRI, 233-360).
+
+    Snapshots [u; i omega u] are QR-accumulated (CGS2); the interpolation
+    weights q are the right singular vector of R for the smallest singular
+    value, with rank-deficiency fallback (ORTHOG_TOL)."""
+
+    def __init__(self):
+        self.Q: List[np.ndarray] = []
+        self.R = np.zeros((0, 0), complex)
+        self.z: List[float] = []
+        self.q: np.ndarray | None = None
+
+    def add_sample(self, omega: float, u: np.ndarray):
+        col = np.concatenate([u, 1j * omega * u]).astype(complex)
+        S = len(self.z)
+        R = np.zeros((S + 1, S + 1), complex)
+        R[:S, :S] = self.R
+        for _ in range(2):
+            for i, qv in enumerate(self.Q):
+                h = np.vdot(qv, col)
+                R[i, S] += h
+                col = col - h * qv
+        nrm = np.linalg.norm(col)
+        R[S, S] = nrm
+        self.Q.append(col / nrm if nrm > 0 else col)
+        self.R = R
+        self.z.append(float(omega))
+        _, s, Vh = np.linalg.svd(R)
+        m = len(s) - 1
+        while m > 0 and s[m] < 1e-12 * s[0]:
+            m -= 1
+        self.q = Vh[m].conj()
+
+    def find_max_error(self, n_grid: int = 200000) -> float:
+        """argmin_z |Q(z)| over [min z, max z] (brute-force fine grid,
+        reference: romoperator.cpp:318-360)."""
+        z = np.asarray(self.z)
+        grid = np.linspace(z.min(), z.max(), n_grid + 1)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            Qv = np.abs((self.q[None, :] / (grid[:, None] - z[None, :]))
+                        .sum(axis=1))
+        Qv[~np.isfinite(Qv)] = np.inf
+        return float(grid[int(np.argmin(Qv))])
+
+
 def sweep_adaptive(iodata, sop: SpaceOperator, omegas, excitations
                    ) -> Dict[Tuple[int, int], np.ndarray]:
     from palace_tpu.linalg.ordering import dof_coordinates, splu_nd
 
-    if sop.wave_ports:
+    if sop._conductivity or sop._abc2_tb is not None:
         raise NotImplementedError(
-            "adaptive PROM with wave ports (per-port factored reduced "
-            "operators, reference: romoperator.hpp:177-187) lands next round")
-    if sop._conductivity:
-        raise NotImplementedError(
-            "adaptive PROM with frequency-dependent conductivity boundaries "
-            "is not supported; use a uniform sweep")
+            "adaptive PROM with conductivity / second-order-absorbing "
+            "boundaries (non-factorable A2) is not supported; use a uniform "
+            "sweep (reference slow path: romoperator.hpp:186-189)")
     cfg = iodata.solver.driven
     tol = cfg.adaptive_tol
     max_size = max(cfg.adaptive_max_size, 4)
+    conv_memory = max(cfg.adaptive_memory, 1)
 
     K = sop.stiffness_csr()
     C = sop.damping_csr()
     M = sop.mass_csr()
     coords = dof_coordinates(sop.space)
     rhs1 = {ex: sop.rhs1(ex).astype(complex) for ex in excitations}
+    wave_ports = {idx: wp for idx, wp in sop.wave_ports.items() if wp.active}
+    Mwp = {idx: sop._csr([(np.asarray(bk.gidx), np.asarray(bk.A))])
+           for idx, bk in ((idx, sop._waveport_mass_bucket(
+               idx, sop._wp_trace_bases[idx])) for idx in wave_ports)}
+    free_mask = ~sop.ess_mask
+
+    def kn(idx, omega):
+        return complex(wave_ports[idx].solve_mode(omega).kn)
+
+    import scipy.sparse as sp
+
+    free = sp.diags(free_mask.astype(float))
+    Mwp = {idx: (free @ Mp @ free).tocsr() for idx, Mp in Mwp.items()}
+
+    def assemble(omega):
+        # PEC-eliminated wave-port term (system_csr applies DIAG_ONE).
+        A = sop.system_csr(omega, K, C, M)
+        for idx, Mp in Mwp.items():
+            A = (A + 1j * kn(idx, omega) * Mp).tocsr()
+        return A
+
+    def rhs(ex, omega):
+        b = 1j * omega * rhs1[ex]
+        if wave_ports:
+            b = b + sop.waveport_rhs2(ex, omega)
+        return b
 
     def solve_hdm(omega, ex):
-        A = sop.system_csr(omega, K, C, M)
-        lu = splu_nd(A, coords)
-        return lu.solve(1j * omega * rhs1[ex])
+        lu = splu_nd(assemble(omega).tocsc(), coords)
+        return lu.solve(rhs(ex, omega))
 
-    # Reduced basis (real + imag parts of each HDM solution enter
-    # separately, reference: romoperator.cpp PROM update uses solution and
-    # conjugate information; real/imag splitting spans the same space).
     V: List[np.ndarray] = []
 
     def add_solution(E):
         _orthonormalize(V, E.real.astype(complex))
         _orthonormalize(V, 1j * E.imag.astype(complex))
 
-    omega_lo, omega_hi = min(omegas), max(omegas)
-    sampled = set()
-    for ex in excitations:
-        for om in {omega_lo, omega_hi}:
-            add_solution(solve_hdm(om, ex))
-            sampled.add((round(om, 12), ex))
-    print_log(iodata, f"  PROM init: {len(V)} basis vectors "
-                      f"({2 * len(excitations)} HDM solves)")
-
     def reduced_tables():
         Vm = np.stack(V, axis=1)  # (n, m)
-        KV = K @ Vm
-        CV = C @ Vm if C is not None else None
-        MV = M @ Vm
-        Kr = Vm.conj().T @ KV
-        Cr = Vm.conj().T @ CV if CV is not None else None
-        Mr = Vm.conj().T @ MV
-        br = {ex: Vm.conj().T @ rhs1[ex] for ex in excitations}
-        return Vm, KV, CV, MV, Kr, Cr, Mr, br
+        Kr = Vm.conj().T @ (K @ Vm)
+        Cr = Vm.conj().T @ (C @ Vm) if C is not None else None
+        Mr = Vm.conj().T @ (M @ Vm)
+        Wr = {idx: Vm.conj().T @ (Mp @ Vm) for idx, Mp in Mwp.items()}
+        b1r = {ex: Vm.conj().T @ rhs1[ex] for ex in excitations}
+        return Vm, Kr, Cr, Mr, Wr, b1r
 
     def prom_solve(om, ex, tabs):
-        Vm, KV, CV, MV, Kr, Cr, Mr, br = tabs
+        Vm, Kr, Cr, Mr, Wr, b1r = tabs
         Ar = Kr - om * om * Mr
         if Cr is not None:
             Ar = Ar + 1j * om * Cr
-        z = np.linalg.solve(Ar, 1j * om * br[ex])
-        return z
+        for idx, W in Wr.items():
+            Ar = Ar + 1j * kn(idx, om) * W
+        br = 1j * om * b1r[ex]
+        if wave_ports:
+            br = br + Vm.conj().T @ sop.waveport_rhs2(ex, om)
+        return np.linalg.solve(Ar, br)
 
-    def residual_norm(om, ex, z, tabs):
-        Vm, KV, CV, MV, Kr, Cr, Mr, br = tabs
-        r = 1j * om * rhs1[ex] - (KV @ z - om * om * (MV @ z))
-        if CV is not None:
-            r = r - 1j * om * (CV @ z)
-        return np.linalg.norm(r) / (abs(om) * np.linalg.norm(rhs1[ex]))
-
-    # Greedy enrichment.
-    it = 0
-    while len(V) < 2 * max_size:
-        tabs = reduced_tables()
-        worst = (0.0, None, None)
-        for om in omegas:
-            for ex in excitations:
-                z = prom_solve(om, ex, tabs)
-                rn = residual_norm(om, ex, z, tabs)
-                if rn > worst[0] and (round(om, 12), ex) not in sampled:
-                    worst = (rn, om, ex)
-        it += 1
-        if worst[1] is None or worst[0] < tol:
-            print_log(iodata, f"  PROM converged: basis size {len(V)}, "
-                              f"max residual {worst[0]:.2e}")
-            break
-        print_log(iodata, f"  PROM iter {it}: sampling omega={worst[1]:.4f} "
-                          f"(residual {worst[0]:.2e})")
-        add_solution(solve_hdm(worst[1], worst[2]))
-        sampled.add((round(worst[1], 12), worst[2]))
+    omega_lo, omega_hi = float(min(omegas)), float(max(omegas))
+    total_hdm = 0
+    for ex in excitations:
+        mri = MinimalRationalInterpolation()
+        max_errors = []
+        # Endpoint initialization (drivensolver.cpp:1167 prom_indices).
+        for om in (omega_lo, omega_hi):
+            E = solve_hdm(om, ex)
+            total_hdm += 1
+            add_solution(E)
+            mri.add_sample(om, E)
+        max_errors = [math.inf, math.inf]  # endpoint estimates inaccurate
+        memory = 0
+        it = 2
+        while it < max_size and memory < conv_memory:
+            om_star = mri.find_max_error()
+            E = solve_hdm(om_star, ex)
+            total_hdm += 1
+            tabs = reduced_tables()
+            z = prom_solve(om_star, ex, tabs)
+            err = (np.linalg.norm(tabs[0] @ z - E)
+                   / max(np.linalg.norm(E), 1e-300))
+            max_errors.append(err)
+            memory = memory + 1 if err < tol else 0
+            print_log(iodata, f"  PROM greedy it {it - 1} (n = {len(V)}): "
+                              f"omega* = {om_star:.6f}, error = {err:.3e}, "
+                              f"memory = {memory}/{conv_memory}")
+            add_solution(E)
+            mri.add_sample(om_star, E)
+            it += 1
+        status = ("converged" if memory >= conv_memory
+                  else "reached maximum samples")
+        print_log(iodata, f"  PROM {status}: {it} samples, basis {len(V)}, "
+                          f"last error {max_errors[-1]:.3e} (tol {tol:.1e})")
 
     # Online sweep.
     tabs = reduced_tables()
@@ -134,8 +206,8 @@ def sweep_adaptive(iodata, sop: SpaceOperator, omegas, excitations
     sols = {}
     for i, om in enumerate(omegas):
         for ex in excitations:
-            z = prom_solve(om, ex, tabs)
-            sols[(ex, i)] = Vm @ z
+            sols[(ex, i)] = Vm @ prom_solve(om, ex, tabs)
     print_log(iodata, f"  PROM online: {len(omegas)} frequencies x "
-                      f"{len(excitations)} excitations (basis {len(V)})")
+                      f"{len(excitations)} excitations (basis {len(V)}, "
+                      f"{total_hdm} HDM solves)")
     return sols

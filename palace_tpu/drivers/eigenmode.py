@@ -121,9 +121,10 @@ def solve(iodata: IoData, output_dir: str | None = None):
                         nconv=min(k_req, cfg.n + 4),
                         log=lambda s: print_log(iodata, s))
                 else:
-                    result = shift_invert_eigs(Kcsr, Mcsr, ess,
-                                               omega_t ** 2, k_req,
-                                               tol=cfg.tol)
+                    result = shift_invert_eigs(
+                        Kcsr, Mcsr, ess, omega_t ** 2, k_req, tol=cfg.tol,
+                        which=("LR" if sop.K_flo_mass is not None
+                               else "LM"))
                 omega = np.sqrt(result.eigenvalues.astype(complex))
             keep = (np.real(omega) > max(1e-8, 1e-3 * abs(omega_t)))
             if sop.K_flo_mass is not None:

@@ -35,9 +35,15 @@ def shift_invert_eigs(
     nev: int,
     tol: float = 1e-9,
     max_it: Optional[int] = None,
+    which: str = "LM",
 ) -> EigResult:
     """Eigenvalues of K x = lambda M x nearest sigma, with essential dofs
     eliminated.  Supports complex M (lossy materials); K, M symmetric.
+
+    which="LM": nearest sigma in magnitude.  which="LR": only eigenvalues
+    ABOVE sigma (largest real 1/(lam - sigma)) — the reference's SLEPc RG
+    interval [sigma, inf) semantics (slepc.cpp:432-445), used for Floquet
+    solves where a dense spurious band sits just below the target.
     """
     n = K.shape[0]
     keep = np.setdiff1d(np.arange(n), np.asarray(ess_dofs, np.int64))
@@ -45,7 +51,7 @@ def shift_invert_eigs(
     Mr = M[keep][:, keep].tocsc()
     is_complex = np.iscomplexobj(Mr.data) or np.iscomplexobj(Kr.data)
 
-    if not is_complex:
+    if not is_complex and which == "LM":
         vals, vecs = spla.eigsh(
             Kr, k=nev, M=Mr, sigma=sigma, which="LM", tol=tol,
             maxiter=max_it or max(1000, 40 * nev),
@@ -57,10 +63,11 @@ def shift_invert_eigs(
         op = spla.LinearOperator(
             Kr.shape, matvec=lambda x: lu.solve(Mr @ x), dtype=np.complex128
         )
-        mu, vecs = spla.eigs(op, k=nev, which="LM", tol=tol,
+        mu, vecs = spla.eigs(op, k=nev, which=which, tol=tol,
                              maxiter=max_it or max(1000, 40 * nev))
         vals = sigma + 1.0 / mu
-        order = np.argsort(np.abs(vals - sigma))
+        order = np.argsort(np.abs(vals - sigma) if which == "LM"
+                           else np.real(vals))
         vals, vecs = vals[order], vecs[:, order]
 
     # Residuals on the reduced pencil.
