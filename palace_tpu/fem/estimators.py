@@ -28,11 +28,23 @@ from palace_tpu.mesh import geometry as geom_mod
 
 
 def _solver(op):
+    """Mass solve for the flux recovery.  Jacobi-CG first (device path);
+    high order + curved elements can stall it (p = 4 needs ~500 its even on
+    a uniform box), so fall back to an assembled sparse-direct solve — an
+    unconverged recovery silently inflates every indicator (this was the
+    15-20x error-indicators.csv mismatch on the p = 4 cylinder cases)."""
     prec = jacobi(op.diagonal())
+    state = {}
 
     def solve(v):
-        res = cg(op, jnp.asarray(v), M=prec, tol=1e-10, max_its=800)
-        return np.asarray(res.x)
+        res = cg(op, jnp.asarray(v), M=prec, tol=1e-10, max_its=1500)
+        if bool(res.converged):
+            return np.asarray(res.x)
+        if "lu" not in state:
+            from scipy.sparse.linalg import splu
+
+            state["lu"] = splu(op.assemble_csr().tocsc())
+        return state["lu"].solve(np.asarray(v))
 
     return solve
 
@@ -74,6 +86,9 @@ def grad_flux_indicators(space: NDSpace, materials, E: np.ndarray
         # RT physical values J w_ref / detJ (signed Piola).
         rtphys = np.einsum("eqsr,qnr->eqns", gf.J, Vr) / gf.detJ[
             :, :, None, None]
+        if rt.elem_signs[bi] is not None:
+            # Hex RT face-orientation signs (fem/rt_hex.py).
+            rtphys = rtphys * rt.elem_signs[bi][:, None, :, None]
         eps = materials.attr_tensor(
             {a: np.real(t) for a, t in materials.permittivity.items()},
             b.attr)[:, :sdim, :sdim]

@@ -192,11 +192,21 @@ class RTSpace:
         self.k = k
         self._bases = {}
         all_keys, shapes = [], []
+        sign_blocks: List[Optional[np.ndarray]] = []
         for bi, b in enumerate(mesh.buckets):
+            if b.geom is Geom.HEX:
+                from palace_tpu.fem import rt_hex
+
+                keys, signs = rt_hex.hex_rt_keys_signs(
+                    k, mesh.topo_ids(b.corners).astype(np.int64), bi)
+                E, nd = signs.shape
+                all_keys.append(keys.reshape(E * nd, 7))
+                shapes.append((E, nd))
+                sign_blocks.append(signs)
+                continue
             if b.geom not in (Geom.TET, Geom.TRI):
                 raise NotImplementedError(
-                    f"RT space on {b.geom} (tensor-product RT lands with the "
-                    "hex estimator path)")
+                    f"RT space on {b.geom} (prism tensor RT not implemented)")
             basis = rt_basis_simplex(b.geom, k)
             self._bases[b.geom] = basis
             corners = mesh.topo_ids(b.corners).astype(np.int64)
@@ -231,6 +241,7 @@ class RTSpace:
             assert n == nd
             all_keys.append(keys.reshape(E * nd, 7))
             shapes.append((E, nd))
+            sign_blocks.append(None)
         num, ids, uniq = dofmap.number_dofs(np.concatenate(all_keys, axis=0))
         self.num_dofs = num
         self.elem_dofs: List[np.ndarray] = []
@@ -238,7 +249,7 @@ class RTSpace:
         for (E, nd) in shapes:
             self.elem_dofs.append(ids[ofs:ofs + E * nd].reshape(E, nd))
             ofs += E * nd
-        self.elem_signs = [None] * len(mesh.buckets)
+        self.elem_signs = sign_blocks
 
     @property
     def order(self) -> int:
@@ -246,4 +257,8 @@ class RTSpace:
 
     def basis_tables(self, geom: Geom, pts: np.ndarray) -> np.ndarray:
         """(nq, nd, dim) reference values (physical via J . / detJ)."""
+        if geom is Geom.HEX:
+            from palace_tpu.fem import rt_hex
+
+            return rt_hex.hex_rt_eval(self.k, np.asarray(pts, float))
         return self._bases[geom].eval(np.asarray(pts, float))

@@ -97,3 +97,61 @@ def test_grad_flux_exact_recovery(tmp_path):
     E = G @ V
     eta2 = grad_flux_indicators(nd, _M, E)
     assert np.abs(eta2).max() < 1e-18, eta2.max()
+
+
+@pytest.mark.parametrize("k", [0, 1, 2])
+def test_rt_hex_poly_projection_exact(k):
+    """Tensor RT_k on a shuffled hex mesh (fem/rt_hex.py): the L2 projection
+    of a polynomial flux in the space is pointwise exact — a loud failure
+    for any face-orientation variant or sign error."""
+    import scipy.sparse as sp_
+    import scipy.sparse.linalg as spl
+
+    from palace_tpu.mesh import geometry
+    from palace_tpu.mesh.generate import box_hex
+    from palace_tpu.mesh.mesh import Mesh
+
+    mesh = box_hex(2, 2, 2)
+    rng = np.random.default_rng(5)
+    perm = rng.permutation(mesh.num_nodes)
+    inv = np.empty_like(perm)
+    inv[perm] = np.arange(len(perm))
+    nodes = mesh.nodes[inv]
+    for b in mesh.buckets + mesh.bdr_buckets:
+        b.conn = perm[b.conn]
+        if hasattr(b, "_corners"):
+            del b._corners
+    mesh = Mesh(nodes, mesh.buckets, mesh.bdr_buckets, {})
+
+    rt = RTSpace(mesh, k)
+    b = mesh.buckets[0]
+    gf = geometry.compute(mesh.nodes, b, 2 * k + 4)
+    Vr = rt.basis_tables(Geom.HEX, gf.qpts)
+    rtphys = np.einsum("eqsr,qnr->eqns", gf.J, Vr) / gf.detJ[:, :, None, None]
+    rtphys = rtphys * rt.elem_signs[0][:, None, :, None]
+
+    # Physical quadrature points.
+    gb = ref.gmsh_geometry_basis(b.etype)
+    N = gb.eval(gf.qpts)
+    pts = np.einsum("ens,qn->eqs", mesh.nodes[b.conn], N)
+    # A field inside RT_k(hex): per-component tensor degrees (k+1, k, k) etc.
+    x, y, z = pts[..., 0], pts[..., 1], pts[..., 2]
+    if k == 0:
+        F = np.stack([1.0 + 2 * x, y - 3.0, 0.5 - z], axis=-1)
+    else:
+        F = np.stack([x * x + y, y * y - x * z, z + x * y], axis=-1)
+
+    A = np.einsum("eqns,eqms,eq->enm", rtphys, rtphys, gf.wdetJ)
+    c = np.einsum("eqns,eqs,eq->en", rtphys, F, gf.wdetJ)
+    rows, cols, vals, rhs = [], [], [], np.zeros(rt.num_dofs)
+    g = rt.elem_dofs[0]
+    E, nd = g.shape
+    rows = np.repeat(g, nd, axis=1).ravel()
+    cols = np.tile(g, (1, nd)).ravel()
+    M = sp_.coo_matrix((A.ravel(), (rows, cols)),
+                       shape=(rt.num_dofs,) * 2).tocsc()
+    np.add.at(rhs, g.ravel(), c.ravel())
+    u = spl.spsolve(M, rhs)
+    Fh = np.einsum("eqns,en->eqs", rtphys, u[g])
+    err = np.abs(Fh - F).max() / np.abs(F).max()
+    assert err < 1e-10, err
