@@ -37,12 +37,14 @@ def _solver(op):
     state = {}
 
     def solve(v):
-        res = cg(op, jnp.asarray(v), M=prec, tol=1e-10, max_its=1500)
-        if bool(res.converged):
-            return np.asarray(res.x)
         if "lu" not in state:
+            res = cg(op, jnp.asarray(v), M=prec, tol=1e-10, max_its=1500)
+            if bool(res.converged):
+                return np.asarray(res.x)
             from scipy.sparse.linalg import splu
 
+            # Once CG has stalled it will stall for every RHS of this
+            # operator — factor once and stay direct.
             state["lu"] = splu(op.assemble_csr().tocsc())
         return state["lu"].solve(np.asarray(v))
 
