@@ -89,6 +89,7 @@ class StepMeasurement:
     probe_E: Optional[np.ndarray] = None  # (nprobe, 3) complex
     probe_B: Optional[np.ndarray] = None
     surf_flux: Dict[int, complex] = field(default_factory=dict)
+    floquet_s: Optional[Dict] = None  # {port: {(m, n, is_te): S}}
     surf_q: Dict[int, Tuple[float, float]] = field(default_factory=dict)  # (p, Q)
     farfield: Optional[np.ndarray] = None  # (npts, 3) complex rE
 
@@ -267,6 +268,8 @@ def solve(iodata: IoData, output_dir: str | None = None):
         measurements: Dict[Tuple[int, int], StepMeasurement] = {}
         for (ex, i), E in sols.items():
             m = measure_step(sop, E, omegas[i], ex, port_fn, probe_locs)
+            if sop.floquet_ports:
+                m.floquet_s = sop.floquet_sparams(E, omegas[i], ex)
             measure_surfaces(iodata, sop, m, E, omegas[i], surf_traces)
             if ff_tb is not None:
                 from palace_tpu.post.farfield import stratton_chu
@@ -356,7 +359,7 @@ def use_device_ksp(iodata, num_dofs: int) -> bool:
 def sweep_uniform(iodata, sop: SpaceOperator, omegas, excitations, skip=0
                   ) -> Dict[Tuple[int, int], np.ndarray]:
     sweep_uniform_device._last_info = None
-    if use_device_ksp(iodata, sop.space.num_dofs):
+    if use_device_ksp(iodata, sop.space.num_dofs) and not sop.floquet_ports:
         try:
             return sweep_uniform_device(iodata, sop, omegas, excitations,
                                         skip=skip)
@@ -433,7 +436,8 @@ def sweep_uniform_direct(iodata, sop: SpaceOperator, omegas, excitations,
             continue
         A = sop.system_csr(omega, K, C, M)
         for A2 in (sop.waveport_a2_csr(omega), sop.abc2_a2_csr(omega),
-                   sop.conductivity_a2_csr(omega)):
+                   sop.conductivity_a2_csr(omega),
+                   sop.floquet_port_a2_csr(omega)):
             if A2 is not None:
                 A = (A + A2).tocsr()
         lu = splu_nd(A, coords)
@@ -441,6 +445,8 @@ def sweep_uniform_direct(iodata, sop: SpaceOperator, omegas, excitations,
             b = 1j * omega * rhs1[ex]
             if sop.wave_ports:
                 b = b + sop.waveport_rhs2(ex, omega)
+            if sop.floquet_ports:
+                b = b + sop.floquet_rhs2(ex, omega)
             sols[(ex, i)] = lu.solve(b)
         print_log(iodata, f"  freq {i + 1}/{len(omegas)} solved "
                           f"({A.shape[0]} dofs x {len(todo)} excitations)")
@@ -598,6 +604,58 @@ def write_driven_tables(iodata: IoData, sop: SpaceOperator, post_dir: str,
                 t.col(f"sarg{idx}{ex}").data.append(
                     math.degrees(math.atan2(S.imag, S.real)))
     t.write(os.path.join(post_dir, "port-S.csv"))
+
+    # port-floquet-S: per-diffraction-order S-parameters (reference:
+    # postoperatorcsv.cpp:1234-1276 / PrintFloquetPortS; evanescent or
+    # out-of-band orders print NaN).
+    if sop.floquet_ports:
+        t = Table()
+        fc = t.add(freq_col())
+        for ex in excitations:
+            circ = any(fp.excitation == ex and abs(fp.alpha_te) > 1e-14
+                       and abs(fp.alpha_tm) > 1e-14
+                       for fp in sop.floquet_ports.values())
+            for idx, fp in sorted(sop.floquet_ports.items()):
+                for o in fp.orders:
+                    if not o.out:
+                        continue
+                    for te in (True, False):
+                        pol = (("RHC" if te else "LHC") if circ
+                               else ("TE" if te else "TM"))
+                        key = f"fs{idx}_{o.m}_{o.n}_{pol}_{ex}"
+                        t.add(Column(
+                            f"abs_{key}",
+                            f"|S[P{idx}({o.m};{o.n}){pol}][{ex}]| (dB)"))
+                        t.add(Column(
+                            f"arg_{key}",
+                            f"arg(S[P{idx}({o.m};{o.n}){pol}][{ex}]) "
+                            f"(deg.)"))
+        for i, f in enumerate(freqs_ghz):
+            fc.data.append(f)
+            for ex in excitations:
+                circ = any(fp.excitation == ex and abs(fp.alpha_te) > 1e-14
+                           and abs(fp.alpha_tm) > 1e-14
+                           for fp in sop.floquet_ports.values())
+                mm = meas[(ex, i)]
+                for idx, fp in sorted(sop.floquet_ports.items()):
+                    smap = (mm.floquet_s or {}).get(idx, {})
+                    for o in fp.orders:
+                        if not o.out:
+                            continue
+                        for te in (True, False):
+                            pol = (("RHC" if te else "LHC") if circ
+                                   else ("TE" if te else "TM"))
+                            key = f"fs{idx}_{o.m}_{o.n}_{pol}_{ex}"
+                            S = smap.get((o.m, o.n, te))
+                            if S is None:
+                                t.col(f"abs_{key}").data.append(float("nan"))
+                                t.col(f"arg_{key}").data.append(float("nan"))
+                            else:
+                                t.col(f"abs_{key}").data.append(
+                                    20.0 * math.log10(max(abs(S), 1e-300)))
+                                t.col(f"arg_{key}").data.append(
+                                    math.degrees(math.atan2(S.imag, S.real)))
+        t.write(os.path.join(post_dir, "port-floquet-S.csv"))
 
     # port-V / port-I (lumped ports only; wave ports have no unique V/I)
     for name, unit, scale, inc_fn, get in () if not sop.ports else (

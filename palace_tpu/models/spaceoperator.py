@@ -100,6 +100,24 @@ class SpaceOperator:
                     mesh, attrs, self.bdr_qorder)))
             self._surface_currents.append((sc, elems, tbs))
 
+        # Floquet diffraction-order ports (reference:
+        # palace/models/floquetportoperator.cpp).
+        self.floquet_ports: Dict[int, object] = {}
+        if iodata.boundaries.floquet_ports:
+            from palace_tpu.config.schema import ProblemType
+            from palace_tpu.models.floquetport import FloquetPortData as FPD
+
+            if iodata.problem.type is not ProblemType.DRIVEN:
+                raise ValueError(
+                    "Floquet ports are only available for driven solves "
+                    "(reference: floquetportoperator.cpp:931-933)")
+            k = (self.floquet_k if self.floquet_k is not None
+                 else np.zeros(3))
+            for cfg in iodata.boundaries.floquet_ports:
+                fp = FPD(iodata, mesh, self.space, cfg, self.materials, k,
+                         self.floquet_omega_ref, self.bdr_qorder)
+                self.floquet_ports[fp.index] = fp
+
         # Wave ports (reference: palace/models/waveportoperator.cpp).
         self.wave_ports: Dict[int, object] = {}
         self._wp_trace_bases: Dict[int, NDTraceBasis] = {}
@@ -407,6 +425,9 @@ class SpaceOperator:
         for idx, wp in self.wave_ports.items():
             if wp.excitation:
                 out.setdefault(wp.excitation, []).append(idx)
+        for idx, fp in self.floquet_ports.items():
+            if fp.excitation:
+                out.setdefault(fp.excitation, []).append(idx)
         if not out and (self.iodata.domains.current_dipoles
                         or self.iodata.boundaries.surface_currents):
             out[1] = []
@@ -447,6 +468,65 @@ class SpaceOperator:
                          1j * (0.5 / omega) * np.asarray(bk.A))])
         free = sp.diags((~self.ess_mask).astype(float))
         return (free @ A2 @ free).tocsr()
+
+    def floquet_port_a2_csr(self, omega: float) -> Optional[sp.csr_matrix]:
+        """Floquet-port DtN contribution to A2(omega): the full-rank Robin
+        term i gamma_00 (mu^-1 u_t, v_t) on the port faces plus the
+        low-rank per-order correction sum_k g_k conj(v_k) v_k^T (reference:
+        floquetportoperator.cpp:980-996 + GetBoundaryOperator :745-770)."""
+        if not self.floquet_ports:
+            return None
+        if not hasattr(self, "_fp_mass_buckets"):
+            self._fp_mass_buckets = {}
+            for idx, fp in self.floquet_ports.items():
+                tb = fp._tb
+                tr = tb.tr
+                attrs = np.empty(len(tr.elem), np.int32)
+                for bi, b in enumerate(self.mesh.buckets):
+                    s = tr.bucket == bi
+                    attrs[s] = b.attr[tr.elem[s]]
+                mi = self.materials.attr_tensor(
+                    self.materials.inv_permeability, attrs)
+                self._fp_mass_buckets[idx] = boundary_mass_bucket(tb, mi)
+        n = self.space.num_dofs
+        A = sp.csr_matrix((n, n), dtype=complex)
+        free_mask = ~self.ess_mask
+        for idx, fp in self.floquet_ports.items():
+            fp.initialize(omega)
+            bk = self._fp_mass_buckets[idx]
+            A = A + 1j * fp.gamma0 * self._csr(
+                [(np.asarray(bk.gidx), np.asarray(bk.A))])
+            rows = []
+            for g, v in fp.lowrank_terms(omega):
+                vm = np.where(free_mask, v, 0.0)
+                nz = np.nonzero(vm)[0]
+                outer = sp.csr_matrix(
+                    (np.outer(np.conj(vm[nz]), vm[nz]).ravel() * g,
+                     (np.repeat(nz, len(nz)), np.tile(nz, len(nz)))),
+                    shape=(n, n))
+                rows.append(outer)
+            for o in rows:
+                A = A + o
+        free = sp.diags(free_mask.astype(float))
+        return (free @ A @ free).tocsr()
+
+    def floquet_rhs2(self, excitation_idx: int, omega: float) -> np.ndarray:
+        """Incident plane-wave excitation of the driving Floquet port(s)."""
+        rhs = np.zeros(self.space.num_dofs, complex)
+        for idx, fp in self.floquet_ports.items():
+            if fp.excitation == excitation_idx:
+                rhs += fp.excitation_rhs(omega, self.space.num_dofs)
+        return np.where(self.ess_mask, 0.0, rhs)
+
+    def floquet_sparams(self, E: np.ndarray, omega: float,
+                        excitation_idx: int):
+        """{port: {(m, n, is_te): S}} for all Floquet ports."""
+        out = {}
+        for idx, fp in self.floquet_ports.items():
+            out[idx] = fp.s_parameters(
+                np.asarray(E), omega,
+                subtract_incident=(fp.excitation == excitation_idx))
+        return out
 
     def conductivity_a2_csr(self, omega: float) -> Optional[sp.csr_matrix]:
         """Finite-conductivity surface impedance contribution to A2(w):
