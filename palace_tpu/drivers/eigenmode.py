@@ -94,12 +94,28 @@ def solve(iodata: IoData, output_dir: str | None = None):
         # Request extra vectors (the gradient-nullspace cluster at
         # lambda = 0 is filtered below); grow the subspace and retry if the
         # filter leaves fewer than the n requested physical modes.
+        # Div-free projector data for damped solves (reference:
+        # eigensolver.cpp:204-218 — disabled for Floquet/London problems).
+        divfree = None
+        m_ = sop.materials
+        has_london = any(abs(l) > 0 for l in m_.london_depth.values())
+        if (sop.K_flo_mass is None and not has_london
+                and Ccsr is not None and abs(Ccsr).max() > 0):
+            from palace_tpu.fem.h1 import H1Space
+            from palace_tpu.fem.nd_operators import nd_h1_gradient
+
+            try:
+                h1 = H1Space(sop.mesh, iodata.solver.order)
+                G = nd_h1_gradient(space, h1)
+                divfree = (G, sop._csr(sop._combine(sop.M_re, [])))
+            except (NotImplementedError, RuntimeError):
+                divfree = None
         extra = 8
         for attempt in range(3):
             k_req = 2 * nev + extra
             if Ccsr is not None and abs(Ccsr).max() > 0:
                 result = quadratic_eigs(Kcsr, Ccsr, Mcsr, ess, 1j * omega_t,
-                                        k_req, tol=cfg.tol)
+                                        k_req, tol=cfg.tol, divfree=divfree)
                 omega = -1j * result.eigenvalues  # lam = i omega
             else:
                 from palace_tpu.drivers.driven import use_device_ksp

@@ -27,6 +27,20 @@ class EigResult:
     backward_errors: np.ndarray  # (k,) residual / (||K|| + |lambda| ||M||)
 
 
+def _eigs_partial_ok(op, nev, which, tol, maxiter):
+    """ARPACK with graceful partial convergence: heavily damped pencils
+    (e.g. p = 4 prism + impedance boundaries) can exhaust the restart
+    budget long after the wanted interior modes have locked; use whatever
+    converged instead of burning hours (the caller's retry loop expands the
+    subspace if too few survive its filters)."""
+    try:
+        return spla.eigs(op, k=nev, which=which, tol=tol, maxiter=maxiter)
+    except spla.ArpackNoConvergence as e:
+        if len(e.eigenvalues) == 0:
+            raise
+        return e.eigenvalues, e.eigenvectors
+
+
 def shift_invert_eigs(
     K: sp.spmatrix,
     M: sp.spmatrix,
@@ -63,8 +77,8 @@ def shift_invert_eigs(
         op = spla.LinearOperator(
             Kr.shape, matvec=lambda x: lu.solve(Mr @ x), dtype=np.complex128
         )
-        mu, vecs = spla.eigs(op, k=nev, which=which, tol=tol,
-                             maxiter=max_it or max(1000, 40 * nev))
+        mu, vecs = _eigs_partial_ok(op, nev, which, tol,
+                                    max_it or max(300, 10 * nev))
         vals = sigma + 1.0 / mu
         order = np.argsort(np.abs(vals - sigma) if which == "LM"
                            else np.real(vals))
@@ -95,6 +109,7 @@ def quadratic_eigs(
     nev: int,
     tol: float = 1e-9,
     max_it: Optional[int] = None,
+    divfree: Optional[tuple] = None,
 ) -> EigResult:
     """Quadratic pencil P(lam) x = (K + lam C + lam^2 M) x = 0 nearest
     lam = sigma (reference: palace/drivers/eigensolver.cpp PEP path,
@@ -105,6 +120,13 @@ def quadratic_eigs(
       A z = lam B z,  A = [[0, I], [-K, -C]],  B = [[I, 0], [0, M]];
     the shift-invert apply (A - sigma B)^-1 B reduces by block elimination
     to one factorization of P(sigma) = K + sigma C + sigma^2 M.
+
+    divfree = (G, M_real): discrete gradient (full-size) and real mass CSR;
+    the Krylov iterates are M-orthogonally projected against the gradient
+    subspace each apply (reference: eigensolver.cpp:204-218
+    SetDivFreeProjector / linalg/divfree.hpp) — without this the
+    O(num-H1-dof) gradient cluster at lam ~ 0 starves interior ARPACK
+    convergence on damped problems.
     """
     n = K.shape[0]
     keep = np.setdiff1d(np.arange(n), np.asarray(ess_dofs, np.int64))
@@ -116,6 +138,33 @@ def quadratic_eigs(
     P = (Kr + sigma * Cr + sigma * sigma * Mr).tocsc()
     lu = spla.splu(P)
 
+    project = None
+    if divfree is not None:
+        G_full, M_real = divfree
+        Gcsr = G_full.tocsr()
+        Gr = Gcsr[keep].tocsc()
+        # Keep only H1 dofs whose full gradient lives entirely on kept ND
+        # dofs (dropping PEC-boundary H1 dofs, reference: divfree.hpp
+        # h1_bdr_tdof_lists) — otherwise the reduced K_r G_r != 0 and the
+        # projection corrupts the physical spectrum.
+        ess_idx = np.setdiff1d(np.arange(G_full.shape[0]), keep)
+        Gess = Gcsr[ess_idx] if len(ess_idx) else None
+        on_ess = (np.asarray(abs(Gess).sum(axis=0)).ravel()
+                  if Gess is not None else np.zeros(G_full.shape[1]))
+        colnrm = np.sqrt(np.asarray(Gr.multiply(Gr).sum(axis=0)).ravel())
+        cols = np.where((colnrm > 1e-12 * max(colnrm.max(), 1e-300))
+                        & (on_ess <= 1e-12))[0]
+        Gr = Gr[:, cols].tocsc()
+        MrR = M_real[keep][:, keep].tocsr().astype(float)
+        W = (Gr.T @ (MrR @ Gr)).tocsc()
+        W = W + 1e-12 * spla.norm(W, np.inf) * sp.eye(W.shape[0], format="csc")
+        lu_W = spla.splu(W)
+
+        def project(x):
+            y = Gr.T @ (MrR @ x)
+            z = lu_W.solve(y.real) + 1j * lu_W.solve(y.imag)
+            return x - Gr @ z
+
     def matvec(z):
         # Solve (A - sigma B) [u; v] = B [f; g] = [f; M g]:
         #   -sigma u + v = f  ->  v = f + sigma u
@@ -125,13 +174,17 @@ def quadratic_eigs(
         g = z[m:]
         rhs = -(Mr @ g) - (Cr @ f) - sigma * (Mr @ f)
         u = lu.solve(rhs)
+        if project is not None:
+            u = project(u)
         v = f + sigma * u
+        if project is not None:
+            v = project(v)
         return np.concatenate([u, v])
 
     op = spla.LinearOperator((2 * m, 2 * m), matvec=matvec,
                              dtype=np.complex128)
-    mu, zvecs = spla.eigs(op, k=nev, which="LM", tol=tol,
-                          maxiter=max_it or max(1000, 40 * nev))
+    mu, zvecs = _eigs_partial_ok(op, nev, "LM", tol,
+                                 max_it or max(300, 10 * nev))
     vals = sigma + 1.0 / mu
     vecs = zvecs[:m]
     order = np.argsort(np.abs(vals - sigma))
