@@ -316,8 +316,12 @@ def solve(iodata: IoData, output_dir: str | None = None):
             if sop.mesh.nodes.shape[1] == 2:
                 e2 = np.zeros(sop.mesh.num_elements)
             else:
+                fk = sop.floquet_k
+                if fk is not None and sop.floquet_omega_ref > 0:
+                    fk = fk * omegas[i]
                 e2 = curl_flux_indicators(sop.space, sop.materials,
-                                          np.asarray(E)) / omegas[i] ** 2
+                                          np.asarray(E),
+                                          floquet_k=fk) / omegas[i] ** 2
             try:
                 e2 = e2 + grad_flux_indicators(sop.space, sop.materials,
                                                np.asarray(E))

@@ -253,8 +253,9 @@ def solve(iodata: IoData, output_dir: str | None = None):
                 # zero B; see KNOWN_GAPS "2D E_mag" note).
                 e2 = np.zeros(m.num_elements)
             else:
-                e2 = curl_flux_indicators(space, sop.materials, x) / abs(
-                    omega[i]) ** 2
+                e2 = curl_flux_indicators(
+                    space, sop.materials, x,
+                    floquet_k=sop.floquet_k) / abs(omega[i]) ** 2
             try:
                 e2 = e2 + grad_flux_indicators(space, sop.materials, x)
             except NotImplementedError:

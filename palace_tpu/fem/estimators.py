@@ -146,10 +146,14 @@ def timedependent_flux_indicators(space: NDSpace, materials, E: np.ndarray,
             + abs(b_scale) ** 2 * curl_flux_indicators(space, materials, E))
 
 
-def curl_flux_indicators(space: NDSpace, materials, E: np.ndarray
-                         ) -> np.ndarray:
+def curl_flux_indicators(space: NDSpace, materials, E: np.ndarray,
+                         floquet_k: np.ndarray | None = None) -> np.ndarray:
     """Squared, un-normalized per-element indicators for an ND field E
-    (complex supported: real and imaginary parts both contribute)."""
+    (complex supported: real and imaginary parts both contribute).
+
+    floquet_k: Bloch wave vector; the estimated flux becomes the physical
+    B ~ curl E - i k x E (reference: eigensolver.cpp:436-438 /
+    linalg/floquetcorrection.hpp B-field correction before estimation)."""
     mesh = space.mesh
     sdim = mesh.nodes.shape[1]
     signs_list = getattr(space, "elem_signs", [None] * len(mesh.buckets))
@@ -173,6 +177,12 @@ def curl_flux_indicators(space: NDSpace, materials, E: np.ndarray
             curl_ref = np.einsum("qnc,en->eqc", C, ue)
             curl = np.einsum("sreq,eqr->eqs", gf.Jp,
                              curl_ref) / gf.detJ[..., None]
+            if floquet_k is not None:
+                Jinv = np.moveaxis(gf.Jinvp, (0, 1), (2, 3))
+                vph = np.einsum("eqrs,qnr->eqns", Jinv, V)
+                Eq = np.einsum("eqns,en->eqs", vph, ue)
+                curl = curl - 1j * np.cross(
+                    np.broadcast_to(floquet_k, Eq.shape), Eq)
         per_bucket.append((gf, V, C, muinv, curl, bi))
 
     num_elem = sum(b.num_elem for b in mesh.buckets)

@@ -57,6 +57,15 @@ def _run_subprocess(name: str, out_root: str, timeout: float):
                           error=f"subprocess rc={proc.returncode}:\n{tail}")
 
 
+def _result_from_summary(d):
+    from palace_tpu.testing.regression import CaseResult
+
+    r = CaseResult(d["name"], status=d["status"], error=d.get("error"))
+    r.seconds = d.get("seconds", 0.0)
+    r._summary_override = d
+    return r
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("cases", nargs="*", help="case names (default: all)")
@@ -69,6 +78,8 @@ def main() -> int:
                          "per case, isolating JAX state)")
     ap.add_argument("--timeout", type=float, default=3600.0,
                     help="per-case timeout in seconds (subprocess mode)")
+    ap.add_argument("--resume", action="store_true",
+                    help="skip cases already recorded in the --json file")
     args = ap.parse_args()
 
     if args.list:
@@ -85,13 +96,27 @@ def main() -> int:
         return 2
 
     results = []
+    done = {}
+    if args.resume and args.json and os.path.exists(args.json):
+        for r in json.load(open(args.json)):
+            done[r["name"]] = r
     for name in names:
+        if name in done:
+            print(f"=== {name} (resumed: {done[name]['status']})",
+                  flush=True)
+            results.append(_result_from_summary(done[name]))
+            continue
         print(f"=== {name}", flush=True)
         if args.in_process:
             res = run_case(CASES[name], args.out)
         else:
             res = _run_subprocess(name, args.out, args.timeout)
         results.append(res)
+        if args.json:
+            # Incremental snapshot: a killed sweep still leaves results.
+            with open(args.json, "w") as fh:
+                json.dump([getattr(r, "_summary_override", None)
+                           or r.summary() for r in results], fh, indent=1)
         print(f"    {res.status} ({res.seconds:.1f}s, max_rel "
               f"{res.max_rel:.2e}, {res.n_failures()} failures)", flush=True)
         if res.error:
@@ -106,7 +131,8 @@ def main() -> int:
     print(format_results(results))
     if args.json:
         with open(args.json, "w") as fh:
-            json.dump([r.summary() for r in results], fh, indent=1)
+            json.dump([getattr(r, "_summary_override", None) or r.summary()
+                       for r in results], fh, indent=1)
         print(f"wrote {args.json}")
     return 0
 
