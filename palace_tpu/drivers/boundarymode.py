@@ -71,6 +71,32 @@ class BoundaryModeProblem:
         self._epsc = epsc
         # Mixed Atn = (muinv grad u_h1, v_nd).
         self._Atn = self._mixed_grad(muinv)
+
+        # Surface impedance sheets (1/Ls + i w/Rs - w^2 Cs) line masses on
+        # both the in-plane tangential (ND) and out-of-plane (H1) fields
+        # (reference: surfaceimpedanceoperator.cpp coefficients entering the
+        # mode pencil's omega-dependent block; the thick-metal cpw2d case
+        # models the conductor as a kinetic-inductance sheet).
+        from palace_tpu.config import ValueType
+        from palace_tpu.fem.evaluation import boundary_trace
+        from palace_tpu.fem.nd_boundary import (boundary_mass_bucket,
+                                                nd_trace_basis)
+
+        units = iodata.units
+        self._imp_terms = []
+        for imp in iodata.boundaries.impedances:
+            Rs = imp.Rs / units.scale_factor(ValueType.IMPEDANCE)
+            Ls = imp.Ls / units.scale_factor(ValueType.INDUCTANCE)
+            Cs = imp.Cs / units.scale_factor(ValueType.CAPACITANCE)
+            q = default_qorder(order, 1, b_geom := mesh.bdr_buckets[0].geom)
+            tr = boundary_trace(mesh, imp.attributes, q)
+            tb = nd_trace_basis(self.nd, tr)
+            bk = boundary_mass_bucket(tb, np.ones(len(tr.elem)))
+            Mt = self._bucket_csr(np.asarray(bk.gidx), np.asarray(bk.A),
+                                  self.nd.num_dofs)
+            # H1 line mass from parent-element basis at the trace points.
+            Mn = self._h1_line_mass(tr)
+            self._imp_terms.append((Rs, Ls, Cs, Mt, Mn))
         mu_eps_max = 0.0
         for a in epsc:
             mu3 = np.linalg.inv(muinv[a])
@@ -78,6 +104,35 @@ class BoundaryModeProblem:
                                           + (mu3 @ np.real(epsc[a])).T))
             mu_eps_max = max(mu_eps_max, float(w.max()))
         self.mu_eps_max = mu_eps_max * 1.1
+
+    @staticmethod
+    def _bucket_csr(gidx, A, n) -> sp.csr_matrix:
+        E, nd = gidx.shape
+        rows = np.repeat(gidx, nd, axis=1).ravel()
+        cols = np.tile(gidx, (1, nd)).ravel()
+        return sp.coo_matrix((A.reshape(E, -1).ravel(), (rows, cols)),
+                             shape=(n, n)).tocsr()
+
+    def _h1_line_mass(self, tr) -> sp.csr_matrix:
+        mesh = self.mesh
+        rows, cols, vals = [], [], []
+        for bi, b in enumerate(mesh.buckets):
+            sel = np.where(tr.bucket == bi)[0]
+            if len(sel) == 0:
+                continue
+            nq = tr.wdetJ.shape[1]
+            xis = tr.xi[sel].reshape(-1, tr.xi.shape[-1])
+            B = self.h1.basis(b.geom).eval(xis).reshape(len(sel), nq, -1)
+            A = np.einsum("eq,eqn,eqm->enm", tr.wdetJ[sel], B, B)
+            g = self.h1.elem_dofs[bi][tr.elem[sel]]
+            E, nd = g.shape
+            rows.append(np.repeat(g, nd, axis=1).ravel())
+            cols.append(np.tile(g, (1, nd)).ravel())
+            vals.append(A.reshape(E, -1).ravel())
+        return sp.coo_matrix(
+            (np.concatenate(vals), (np.concatenate(rows),
+                                    np.concatenate(cols))),
+            shape=(self.h1.num_dofs,) * 2).tocsr()
 
     def _mixed_grad(self, coef) -> sp.csr_matrix:
         mesh = self.mesh
@@ -114,6 +169,16 @@ class BoundaryModeProblem:
         Ann = (-self._Knn + omega * omega * self._Mnn).astype(complex)
         if self._Mnn_i is not None:
             Ann = Ann + 1j * omega * omega * self._Mnn_i
+        for (Rs, Ls, Cs, Mt, Mn) in self._imp_terms:
+            coef = 0.0 + 0.0j
+            if abs(Ls) > 0:
+                coef += 1.0 / Ls
+            if abs(Rs) > 0:
+                coef += 1j * omega / Rs
+            if abs(Cs) > 0:
+                coef -= omega * omega * Cs
+            Att = (Att + coef * Mt).tocsr()
+            Ann = (Ann - coef * Mn).tocsr()
         Atn = (-self._Atn).tocsr().astype(complex)
         Btn = self._Atn.T.tocsr().astype(complex)
         nnd, nh1 = self.nd.num_dofs, self.h1.num_dofs
@@ -318,6 +383,7 @@ def solve(iodata: IoData, output_dir: str | None = None):
         td.add(Column(f"pe{ecfg.index}", f"p_elec[{ecfg.index}]"))
         td.add(Column(f"Em{ecfg.index}", f"E_mag[{ecfg.index}] (J)"))
         td.add(Column(f"pm{ecfg.index}", f"p_mag[{ecfg.index}]"))
+    mode_energy = []
     for i, (kn, et, en) in enumerate(modes):
         gf, Eq, Hq = prob.domain_fields(et, en, kn, omega)
         b = mesh.buckets[0]
@@ -332,6 +398,10 @@ def solve(iodata: IoData, output_dir: str | None = None):
         Ee_el = np.einsum("eq,eq->e", gf.wdetJ, dens_e)
         Em_el = np.einsum("eq,eq->e", gf.wdetJ, dens_m)
         Ee, Em = float(Ee_el.sum()), float(Em_el.sum())
+        # Estimator normalization: the reference's MeasureAndPrintAll
+        # returns the ELECTRIC field energy only
+        # (postoperator.cpp:1038-1044 domain_E_field_energy_all).
+        mode_energy.append(Ee)
         td.col("i").data.append(float(i + 1))
         td.col("Ee").data.append(Ee * J)
         td.col("Em").data.append(Em * J)
@@ -347,7 +417,65 @@ def solve(iodata: IoData, output_dir: str | None = None):
             td.col(f"pm{ecfg.index}").data.append(eM / Em if Em > 0 else 0.0)
     td.write(os.path.join(post_dir, "domain-E.csv"))
 
-    write_error_indicators(post_dir, [np.zeros(mesh.num_elements)])
+    # surface-Q: thin-layer interface dielectric participation per mode
+    # (reference: postoperator.cpp MeasureInterfaceEFieldEnergy on the
+    # in-plane E grid function; denominator = electric energy).
+    if iodata.boundaries.dielectrics:
+        from types import SimpleNamespace
+
+        from palace_tpu.fem.evaluation import boundary_trace
+        from palace_tpu.fem.operators import default_qorder as _dq
+        from palace_tpu.post.surfaces import interface_energy
+
+        shim = SimpleNamespace(space=prob.nd, mesh=mesh, materials=materials)
+        tq = Table()
+        tq.add(index_column("m"))
+        for d in iodata.boundaries.dielectrics:
+            tq.add(Column(f"p{d.index}", f"p_surf[{d.index}]"))
+            tq.add(Column(f"q{d.index}", f"Q_surf[{d.index}]"))
+        bq = _dq(prob.nd.order, 1, mesh.bdr_buckets[0].geom)
+        traces = {d.index: boundary_trace(mesh, d.attributes, bq,
+                                          both_sides=True)
+                  for d in iodata.boundaries.dielectrics}
+        for i, (kn, et, en) in enumerate(modes):
+            tq.col("i").data.append(float(i + 1))
+            denom = mode_energy[i]
+            for d in iodata.boundaries.dielectrics:
+                class _D:
+                    type = d.type
+                    thickness = d.thickness / units.mesh_length_scale
+                    permittivity = d.permittivity
+
+                e_i = interface_energy(shim, _D, traces[d.index], et)
+                p = e_i / denom if denom > 0 else 0.0
+                Q = (np.inf if (p == 0.0 or d.loss_tan == 0.0)
+                     else 1.0 / (d.loss_tan * p))
+                tq.col(f"p{d.index}").data.append(p)
+                tq.col(f"q{d.index}").data.append(Q)
+        tq.write(os.path.join(post_dir, "surface-Q.csv"))
+
+    # Flux-recovery indicators per propagating mode: grad flux of Et plus
+    # the out-of-plane Bz = curl Et / (i omega) curl flux (reference:
+    # boundarymodesolver.cpp:316-333 BoundaryModeFluxErrorEstimator).
+    eta2_steps, energies = [], []
+    try:
+        from palace_tpu.fem.estimators import (curl_flux_indicators,
+                                               grad_flux_indicators)
+
+        for i, (kn, et, en) in enumerate(modes):
+            if not (kn.real > abs(kn.imag)):
+                continue
+            e2 = (grad_flux_indicators(prob.nd, materials, et)
+                  + curl_flux_indicators(prob.nd, materials, et)
+                  / (omega * omega))
+            eta2_steps.append(e2)
+            energies.append(mode_energy[i])
+    except NotImplementedError:
+        eta2_steps = []
+    if eta2_steps:
+        write_error_indicators(post_dir, eta2_steps, energies)
+    else:
+        write_error_indicators(post_dir, [np.zeros(mesh.num_elements)])
     from palace_tpu.post import metadata
     metadata.save_problem(post_dir, "BoundaryMode", mesh.num_elements,
                           prob.nd.num_dofs + prob.h1.num_dofs)

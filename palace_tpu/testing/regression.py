@@ -399,15 +399,20 @@ def _build_cases() -> Dict[str, CaseSpec]:
                  rtol=1e-4, atol=1e-10, excluded=_MINMAX),
         CaseSpec("cavity2d_transient", "cavity2d", "cavity2d_transient.json",
                  "transient", rtol=1e-4, atol=1e-10, excluded=_MINMAX),
+        # p_mag excluded: the reference's 2D B path yields E_mag ~ 1e-23
+        # (numerically zero; see the 2D E_mag note in KNOWN_GAPS), so its
+        # per-domain participation ratio is a quotient of roundoff noise.
         CaseSpec("cpw2d_thin", "cpw2d", "cpw2d_thin.json", "thin",
                  rtol=1e-2, atol=1e-10,
-                 excluded=_EIGEN_EXCL + ("Im{kn} (1/m)", "Im{n_eff}"),
+                 excluded=_EIGEN_EXCL + ("Im{kn} (1/m)", "Im{n_eff}",
+                                         "p_mag"),
                  skip_rowcount=True,
                  custom={"mode-V.csv": complex_magnitudes_check(1e-2, 1e-10)}),
         CaseSpec("cpw2d_thick_impedance", "cpw2d",
                  "cpw2d_thick_impedance.json", "thick_impedance",
                  rtol=1e-2, atol=1e-10,
-                 excluded=_EIGEN_EXCL + ("Im{kn} (1/m)", "Im{n_eff}"),
+                 excluded=_EIGEN_EXCL + ("Im{kn} (1/m)", "Im{n_eff}",
+                                         "p_mag"),
                  skip_rowcount=True),
         CaseSpec("cpw_wave_2dmode", "cpw", "cpw_wave_2dmode.json",
                  "wave_2dmode", rtol=1e-4, atol=1e-10,
