@@ -281,12 +281,111 @@ class BoundaryModeProblem:
         return complex(-np.trapezoid(integrand, ts))
 
 
+def _extract_boundary_submesh(mesh, attrs, pec_attrs=()):
+    """2D cross-section submesh from the boundary facets of a 3D mesh with
+    the given attributes (reference: boundarymodesolver.cpp runs on a
+    boundary submesh when Solver/BoundaryMode/Attributes is set; the
+    wave-port surface becomes the mode domain).  Domain attrs are inherited
+    from the adjacent volume elements; rim edges become LINE boundary
+    facets carrying the attr of the adjacent 3D boundary sheet (PEC rims
+    stay essential)."""
+    from palace_tpu.mesh.mesh import ElemBucket, Mesh
+    from palace_tpu.post.surfaces import _domain_attrs
+
+    from palace_tpu.fem.evaluation import boundary_trace
+
+    tr = boundary_trace(mesh, attrs, 2)
+    dom_attr = _domain_attrs(mesh, tr.bucket, tr.elem)
+
+    conns, etypes, geo_orders = [], [], []
+    k = 0
+    fac_attr = []
+    for bb in mesh.bdr_buckets:
+        sel = np.isin(bb.attr, list(attrs))
+        if not sel.any():
+            continue
+        if bb.geom is not Geom.TRI:
+            raise NotImplementedError(
+                "boundary-mode submesh extraction supports tri facets")
+        conns.append(bb.conn[sel])
+        etypes.append(bb.etype)
+        geo_orders.append(bb.geo_order)
+        fac_attr.append(dom_attr[k:k + int(sel.sum())])
+        k += int(sel.sum())
+    conn = np.concatenate(conns)
+    attr_arr = np.concatenate(fac_attr).astype(np.int32)
+
+    used = np.unique(conn)
+    remap = np.full(mesh.num_nodes, -1, np.int64)
+    remap[used] = np.arange(len(used))
+    X = mesh.nodes[used]
+    # Plane frame from the facet geometry.
+    c0 = X.mean(axis=0)
+    _, _, Vt = np.linalg.svd(X - c0, full_matrices=False)
+    t1, t2 = Vt[0], Vt[1]
+    nodes2d = np.stack([(X - c0) @ t1, (X - c0) @ t2], axis=1)
+    conn2 = remap[conn].astype(np.int32)
+
+    # Rim edges (appear in exactly one facet) -> LINE boundary facets with
+    # the attr of the adjacent non-port 3D boundary sheet.
+    corners = conn2[:, :3].astype(np.int64)
+    edges = np.concatenate([corners[:, [0, 1]], corners[:, [1, 2]],
+                            corners[:, [0, 2]]])
+    se = np.sort(edges, axis=1)
+    uniq, counts = np.unique(se, axis=0, return_counts=True)
+    rim = uniq[counts == 1]
+    interior = uniq[counts == 2]
+    edge_attr = {}
+    for bb in mesh.bdr_buckets:
+        nc = bb.num_corners
+        cc = bb.corners.astype(np.int64)
+        pairs = [(i, j) for i in range(nc) for j in range(i + 1, nc)]
+        for (i, j) in pairs:
+            a = remap[cc[:, i]]
+            b = remap[cc[:, j]]
+            ok = (a >= 0) & (b >= 0)
+            for aa, bbb, at in zip(a[ok], b[ok], bb.attr[ok]):
+                if int(at) in attrs:
+                    continue
+                key = (min(int(aa), int(bbb)), max(int(aa), int(bbb)))
+                # Prefer PEC sheets: an edge on both a PEC trace and
+                # another surface (e.g. the cut between two port halves
+                # through the center conductor) must stay essential.
+                if key not in edge_attr or (int(at) in pec_attrs
+                                            and edge_attr[key]
+                                            not in pec_attrs):
+                    edge_attr[key] = int(at)
+    rim_attr = np.array([edge_attr.get((int(a), int(b)), 0)
+                         for a, b in rim], np.int32)
+    lines = [rim.astype(np.int32)]
+    lattr = [rim_attr]
+    # Interior edges lying on 3D boundary sheets (e.g. PEC traces crossing
+    # the port plane) become boundary lines too, so their dofs can be
+    # eliminated (the interior-PEC port edges of the wave-port solver).
+    int_hits = [(e, edge_attr[(int(e[0]), int(e[1]))]) for e in interior
+                if (int(e[0]), int(e[1])) in edge_attr]
+    if int_hits:
+        lines.append(np.array([e for e, _ in int_hits], np.int32))
+        lattr.append(np.array([a for _, a in int_hits], np.int32))
+    bdr = [ElemBucket(1, Geom.LINE, 1, np.concatenate(lines),
+                      np.concatenate(lattr))]
+    sub = Mesh(nodes2d, [ElemBucket(etypes[0], Geom.TRI, geo_orders[0],
+                                    conn2, attr_arr)], bdr)
+    return sub
+
+
 def solve(iodata: IoData, output_dir: str | None = None):
     t0 = time.time()
     mesh = prepare_mesh(iodata)
     post_dir = make_output_dir(iodata, output_dir)
     units = iodata.units
     cfg = iodata.solver.boundary_mode
+    if cfg.attributes and mesh.nodes.shape[1] == 3:
+        mesh = _extract_boundary_submesh(
+            mesh, [int(a) for a in cfg.attributes],
+            pec_attrs=set(int(a) for a in iodata.boundaries.pec))
+        print_log(iodata, f"boundary-mode submesh: {mesh.num_elements} "
+                          "facets")
 
     materials = MaterialOperator.build(iodata)
     prob = BoundaryModeProblem(iodata, mesh, materials)
