@@ -445,13 +445,29 @@ def sweep_uniform_direct(iodata, sop: SpaceOperator, omegas, excitations,
             if A2 is not None:
                 A = (A + A2).tocsr()
         lu = splu_nd(A, coords)
+        lr_U = lr_g = lr_cap = None
+        if sop.floquet_ports:
+            # Low-rank Floquet DtN correction via Woodbury:
+            # (A + U g U^H)^-1 b = A^-1 b - A^-1 U (g^-1 + U^H A^-1 U)^-1
+            # U^H A^-1 b (densifying the port block into the sparse matrix
+            # is quadratically expensive in port dofs).
+            lr_U, lr_g = sop.floquet_lowrank(omega)
+            if lr_U is not None:
+                AinvU = np.stack([lu.solve(lr_U[:, k])
+                                  for k in range(lr_U.shape[1])], axis=1)
+                lr_cap = np.linalg.inv(np.diag(1.0 / lr_g)
+                                       + lr_U.conj().T @ AinvU)
+                lr_AinvU = AinvU
         for ex in todo:
             b = 1j * omega * rhs1[ex]
             if sop.wave_ports:
                 b = b + sop.waveport_rhs2(ex, omega)
             if sop.floquet_ports:
                 b = b + sop.floquet_rhs2(ex, omega)
-            sols[(ex, i)] = lu.solve(b)
+            x = lu.solve(b)
+            if lr_U is not None:
+                x = x - lr_AinvU @ (lr_cap @ (lr_U.conj().T @ x))
+            sols[(ex, i)] = x
         print_log(iodata, f"  freq {i + 1}/{len(omegas)} solved "
                           f"({A.shape[0]} dofs x {len(todo)} excitations)")
     return sols

@@ -153,7 +153,7 @@ def quadratic_eigs(
                   if Gess is not None else np.zeros(G_full.shape[1]))
         colnrm = np.sqrt(np.asarray(Gr.multiply(Gr).sum(axis=0)).ravel())
         cols = np.where((colnrm > 1e-12 * max(colnrm.max(), 1e-300))
-                        & (on_ess <= 1e-12))[0]
+                        & (on_ess <= 1e-8 * np.maximum(colnrm, 1e-300)))[0]
         Gr = Gr[:, cols].tocsc()
         MrR = M_real[keep][:, keep].tocsr().astype(float)
         W = (Gr.T @ (MrR @ Gr)).tocsc()

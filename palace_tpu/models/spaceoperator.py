@@ -496,19 +496,23 @@ class SpaceOperator:
             bk = self._fp_mass_buckets[idx]
             A = A + 1j * fp.gamma0 * self._csr(
                 [(np.asarray(bk.gidx), np.asarray(bk.A))])
-            rows = []
-            for g, v in fp.lowrank_terms(omega):
-                vm = np.where(free_mask, v, 0.0)
-                nz = np.nonzero(vm)[0]
-                outer = sp.csr_matrix(
-                    (np.outer(np.conj(vm[nz]), vm[nz]).ravel() * g,
-                     (np.repeat(nz, len(nz)), np.tile(nz, len(nz)))),
-                    shape=(n, n))
-                rows.append(outer)
-            for o in rows:
-                A = A + o
         free = sp.diags(free_mask.astype(float))
         return (free @ A @ free).tocsr()
+
+    def floquet_lowrank(self, omega: float):
+        """(U, g): F(omega) = U diag(g) U^H with U columns conj(v_k),
+        PEC-masked (solved via Woodbury in the driven sweep instead of
+        densifying the port-dof block of the sparse matrix)."""
+        cols, gs = [], []
+        free_mask = ~self.ess_mask
+        for idx, fp in self.floquet_ports.items():
+            fp.initialize(omega)
+            for g, v in fp.lowrank_terms(omega):
+                cols.append(np.conj(np.where(free_mask, v, 0.0)))
+                gs.append(g)
+        if not cols:
+            return None, None
+        return np.stack(cols, axis=1), np.asarray(gs)
 
     def floquet_rhs2(self, excitation_idx: int, omega: float) -> np.ndarray:
         """Incident plane-wave excitation of the driving Floquet port(s)."""

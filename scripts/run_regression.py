@@ -101,7 +101,8 @@ def main() -> int:
         for r in json.load(open(args.json)):
             done[r["name"]] = r
     for name in names:
-        if name in done:
+        if name in done and done[name]["status"] in ("pass", "fail",
+                                                     "no-mesh"):
             print(f"=== {name} (resumed: {done[name]['status']})",
                   flush=True)
             results.append(_result_from_summary(done[name]))
