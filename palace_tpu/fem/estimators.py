@@ -70,47 +70,51 @@ def grad_flux_indicators(space: NDSpace, materials, E: np.ndarray
     E = np.asarray(E)
     cplx = np.iscomplexobj(E)
     ftype = np.complex128 if cplx else np.float64
-    rt = RTSpace(mesh, space.order - 1)
 
-    # Per-bucket data: physical E, physical RT tables, sqrt permittivities.
+    cache = getattr(space, "_gradflux_cache", None)
+    if cache is None:
+        rt = RTSpace(mesh, space.order - 1)
+        # Per-bucket data: physical ND/RT tables, permittivities.
+        setup = []
+        mass_tables = []
+        for bi, b in enumerate(mesh.buckets):
+            q = default_qorder(space.order, b.geo_order, b.geom)
+            gf = geom_mod.compute(mesh.nodes, b, q)
+            V, _ = space.basis_tables(b.geom, gf.qpts)
+            Vr = rt.basis_tables(b.geom, gf.qpts)  # (nq, ndr, sdim)
+            # ND physical values J^-T u_ref.
+            ndphys = np.einsum("eqrs,qnr->eqns", gf.Jinv, V)
+            # RT physical values J w_ref / detJ (signed Piola).
+            rtphys = np.einsum("eqsr,qnr->eqns", gf.J, Vr) / gf.detJ[
+                :, :, None, None]
+            if rt.elem_signs[bi] is not None:
+                # Hex RT face-orientation signs (fem/rt_hex.py).
+                rtphys = rtphys * rt.elem_signs[bi][:, None, :, None]
+            eps = materials.attr_tensor(
+                {a: np.real(t) for a, t in materials.permittivity.items()},
+                b.attr)[:, :sdim, :sdim]
+            setup.append((gf, ndphys, rtphys, eps, bi))
+            A = np.einsum("eqns,eqms,eq->enm", rtphys, rtphys, gf.wdetJ)
+            mass_tables.append((rt.elem_dofs[bi], A))
+        from palace_tpu.ops.partial import BucketTables, PAOperator
+
+        Mrt = PAOperator(rt.num_dofs,
+                         [BucketTables(gidx=g, A=A) for g, A in mass_tables])
+        solve = _solver(Mrt)
+        cache = space._gradflux_cache = (rt, setup, solve)
+    rt, setup, solve = cache
+
     per_bucket = []
-    for bi, b in enumerate(mesh.buckets):
-        q = default_qorder(space.order, b.geo_order, b.geom)
-        gf = geom_mod.compute(mesh.nodes, b, q)
-        V, _ = space.basis_tables(b.geom, gf.qpts)
-        Vr = rt.basis_tables(b.geom, gf.qpts)  # (nq, ndr, sdim)
+    rows_b = np.zeros(rt.num_dofs, ftype)
+    for (gf, ndphys, rtphys, eps, bi) in setup:
         ue = E[space.elem_dofs[bi]]
         if signs_list[bi] is not None:
             ue = ue * signs_list[bi]
-        # ND physical values J^-T u_ref.
-        ndphys = np.einsum("eqrs,qnr->eqns", gf.Jinv, V)
         Eq = np.einsum("eqns,en->eqs", ndphys, ue)
-        # RT physical values J w_ref / detJ (signed Piola).
-        rtphys = np.einsum("eqsr,qnr->eqns", gf.J, Vr) / gf.detJ[
-            :, :, None, None]
-        if rt.elem_signs[bi] is not None:
-            # Hex RT face-orientation signs (fem/rt_hex.py).
-            rtphys = rtphys * rt.elem_signs[bi][:, None, :, None]
-        eps = materials.attr_tensor(
-            {a: np.real(t) for a, t in materials.permittivity.items()},
-            b.attr)[:, :sdim, :sdim]
         per_bucket.append((gf, rtphys, eps, Eq, bi))
-
-    # RT mass matrix (identity coefficient) and the flux right-hand side.
-    rows_b = np.zeros(rt.num_dofs, ftype)
-    mass_tables = []
-    for (gf, rtphys, eps, Eq, bi) in per_bucket:
-        A = np.einsum("eqns,eqms,eq->enm", rtphys, rtphys, gf.wdetJ)
-        mass_tables.append((rt.elem_dofs[bi], A))
         flux = np.einsum("est,eqt->eqs", eps, Eq)
         c = np.einsum("eqns,eqs,eq->en", rtphys, flux, gf.wdetJ)
         np.add.at(rows_b, rt.elem_dofs[bi].ravel(), c.ravel())
-
-    from palace_tpu.ops.partial import BucketTables, PAOperator
-
-    Mrt = PAOperator(rt.num_dofs,
-                     [BucketTables(gidx=g, A=A) for g, A in mass_tables])
-    solve = _solver(Mrt)
     D = solve(rows_b.real) + (1j * solve(rows_b.imag) if cplx else 0.0)
 
     num_elem = sum(b.num_elem for b in mesh.buckets)
@@ -161,16 +165,23 @@ def curl_flux_indicators(space: NDSpace, materials, E: np.ndarray,
     cplx = np.iscomplexobj(E)
     ftype = np.complex128 if cplx else np.float64
 
-    # Per-bucket raw flux at quadrature points.
+    # Per-bucket raw flux at quadrature points (geometry/basis cached on
+    # the space: transient drivers call this every time step).
+    cache = getattr(space, "_curlflux_cache", None)
+    if cache is None:
+        cache = []
+        for bi, b in enumerate(mesh.buckets):
+            q = default_qorder(space.order, b.geo_order, b.geom)
+            gf = geom_mod.compute(mesh.nodes, b, q)
+            V, C = space.basis_tables(b.geom, gf.qpts)
+            muinv = materials.attr_tensor(materials.inv_permeability, b.attr)
+            cache.append((gf, V, C, muinv))
+        space._curlflux_cache = cache
     per_bucket = []
-    for bi, b in enumerate(mesh.buckets):
-        q = default_qorder(space.order, b.geo_order, b.geom)
-        gf = geom_mod.compute(mesh.nodes, b, q)
-        V, C = space.basis_tables(b.geom, gf.qpts)
+    for bi, (gf, V, C, muinv) in enumerate(cache):
         ue = E[space.elem_dofs[bi]]
         if signs_list[bi] is not None:
             ue = ue * signs_list[bi]
-        muinv = materials.attr_tensor(materials.inv_permeability, b.attr)
         if sdim == 2:
             curl = np.einsum("qn,en->eq", C[..., 0], ue) / gf.detJ
         else:
@@ -224,17 +235,22 @@ def curl_flux_indicators(space: NDSpace, materials, E: np.ndarray,
 
     # 3D: project F = mu^-1 curl E onto the ND space (one vector rhs; the
     # test functions transform covariantly, v_phys = J^-T v_ref).
-    Mop = nd_operator(space, mass_coef={int(a): np.eye(3)
-                                        for a in mesh.attributes()})
+    mcache = getattr(space, "_curlflux_msolve", None)
+    if mcache is None:
+        Mop = nd_operator(space, mass_coef={int(a): np.eye(3)
+                                            for a in mesh.attributes()})
+        vphys_all = [np.einsum("eqrs,qnr->eqns", gf.Jinv, V)
+                     for (gf, V, C, muinv) in space._curlflux_cache]
+        mcache = space._curlflux_msolve = (_solver(Mop), vphys_all)
+    msolve, vphys_all = mcache
     b_vec = np.zeros(space.num_dofs, ftype)
     for (gf, V, C, muinv, curl, bi) in per_bucket:
         flux = np.einsum("est,eqt->eqs", muinv[:, :sdim, :sdim], curl)
-        vphys = np.einsum("eqrs,qnr->eqns", gf.Jinv, V)
+        vphys = vphys_all[bi]
         c = np.einsum("eqns,eqs,eq->en", vphys, flux, gf.wdetJ)
         if signs_list[bi] is not None:
             c = c * signs_list[bi]
         np.add.at(b_vec, space.elem_dofs[bi].ravel(), c.ravel())
-    msolve = _solver(Mop)
     w = msolve(b_vec.real) + (1j * msolve(b_vec.imag) if cplx else 0.0)
 
     for (gf, V, C, muinv, curl, bi) in per_bucket:
@@ -242,7 +258,7 @@ def curl_flux_indicators(space: NDSpace, materials, E: np.ndarray,
         we = w[space.elem_dofs[bi]]
         if signs_list[bi] is not None:
             we = we * signs_list[bi]
-        vphys = np.einsum("eqrs,qnr->eqns", gf.Jinv, V)
+        vphys = vphys_all[bi]
         wq = np.einsum("eqns,en->eqs", vphys, we)
         mu = np.linalg.inv(muinv[:, :sdim, :sdim])
         diff = curl - np.einsum("est,eqt->eqs", mu, wq)
