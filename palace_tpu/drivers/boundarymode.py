@@ -323,6 +323,7 @@ def _extract_boundary_submesh(mesh, attrs, pec_attrs=()):
     c0 = X.mean(axis=0)
     _, _, Vt = np.linalg.svd(X - c0, full_matrices=False)
     t1, t2 = Vt[0], Vt[1]
+    frame = np.stack([t1, t2, np.cross(t1, t2)])  # rows: local x, y, z
     nodes2d = np.stack([(X - c0) @ t1, (X - c0) @ t2], axis=1)
     conn2 = remap[conn].astype(np.int32)
 
@@ -371,7 +372,28 @@ def _extract_boundary_submesh(mesh, attrs, pec_attrs=()):
                       np.concatenate(lattr))]
     sub = Mesh(nodes2d, [ElemBucket(etypes[0], Geom.TRI, geo_orders[0],
                                     conn2, attr_arr)], bdr)
-    return sub
+    return sub, frame
+
+
+def _rotate_materials(mats, R):
+    """MaterialOperator with every 3x3 tensor conjugated into the submesh
+    frame T' = R T R^T (rows of R: in-plane t1, t2, out-of-plane normal) —
+    required for anisotropic materials (e.g. sapphire eps_zz != eps_xx:
+    the global [:2, :2] truncation picks the wrong components on a port
+    whose normal is not global z)."""
+    from palace_tpu.models.materials import MaterialOperator
+
+    def rot(d):
+        out = {}
+        for a, t in d.items():
+            t = np.asarray(t)
+            out[a] = R @ t @ R.T if t.ndim == 2 else t
+        return out
+
+    return MaterialOperator(rot(mats.permittivity),
+                            rot(mats.inv_permeability),
+                            rot(mats.loss_tan), rot(mats.conductivity),
+                            dict(mats.london_depth))
 
 
 def solve(iodata: IoData, output_dir: str | None = None):
@@ -380,14 +402,17 @@ def solve(iodata: IoData, output_dir: str | None = None):
     post_dir = make_output_dir(iodata, output_dir)
     units = iodata.units
     cfg = iodata.solver.boundary_mode
+    sub_frame = None
     if cfg.attributes and mesh.nodes.shape[1] == 3:
-        mesh = _extract_boundary_submesh(
+        mesh, sub_frame = _extract_boundary_submesh(
             mesh, [int(a) for a in cfg.attributes],
             pec_attrs=set(int(a) for a in iodata.boundaries.pec))
         print_log(iodata, f"boundary-mode submesh: {mesh.num_elements} "
                           "facets")
 
     materials = MaterialOperator.build(iodata)
+    if sub_frame is not None:
+        materials = _rotate_materials(materials, sub_frame)
     prob = BoundaryModeProblem(iodata, mesh, materials)
     print_log(iodata, f"boundarymode: {prob.nd.num_dofs}+{prob.h1.num_dofs} "
                       f"dofs, {mesh.num_elements} elements")
