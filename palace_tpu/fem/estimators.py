@@ -51,6 +51,49 @@ def _solver(op):
     return solve
 
 
+def _rt_flux_setup(space: NDSpace, materials):
+    """(rt, per-bucket setup, M_RT solver) cache shared by the grad-flux
+    estimator and the Floquet k x E RT projection (RT order = solver
+    order - 1, matching the reference's B-field space)."""
+    cache = getattr(space, "_gradflux_cache", None)
+    if cache is not None:
+        return cache
+    from palace_tpu.fem.rt import RTSpace
+
+    mesh = space.mesh
+    sdim = mesh.nodes.shape[1]
+    rt = RTSpace(mesh, space.order - 1)
+    # Per-bucket data: physical ND/RT tables, permittivities.
+    setup = []
+    mass_tables = []
+    for bi, b in enumerate(mesh.buckets):
+        q = default_qorder(space.order, b.geo_order, b.geom)
+        gf = geom_mod.compute(mesh.nodes, b, q)
+        V, _ = space.basis_tables(b.geom, gf.qpts)
+        Vr = rt.basis_tables(b.geom, gf.qpts)  # (nq, ndr, sdim)
+        # ND physical values J^-T u_ref.
+        ndphys = np.einsum("eqrs,qnr->eqns", gf.Jinv, V)
+        # RT physical values J w_ref / detJ (signed Piola).
+        rtphys = np.einsum("eqsr,qnr->eqns", gf.J, Vr) / gf.detJ[
+            :, :, None, None]
+        if rt.elem_signs[bi] is not None:
+            # Hex RT face-orientation signs (fem/rt_hex.py).
+            rtphys = rtphys * rt.elem_signs[bi][:, None, :, None]
+        eps = materials.attr_tensor(
+            {a: np.real(t) for a, t in materials.permittivity.items()},
+            b.attr)[:, :sdim, :sdim]
+        setup.append((gf, ndphys, rtphys, eps, bi))
+        A = np.einsum("eqns,eqms,eq->enm", rtphys, rtphys, gf.wdetJ)
+        mass_tables.append((rt.elem_dofs[bi], A))
+    from palace_tpu.ops.partial import BucketTables, PAOperator
+
+    Mrt = PAOperator(rt.num_dofs,
+                     [BucketTables(gidx=g, A=A) for g, A in mass_tables])
+    solve = _solver(Mrt)
+    cache = space._gradflux_cache = (rt, setup, solve)
+    return cache
+
+
 def grad_flux_indicators(space: NDSpace, materials, E: np.ndarray
                          ) -> np.ndarray:
     """Squared per-element grad-flux indicators for an ND field E: the
@@ -71,38 +114,7 @@ def grad_flux_indicators(space: NDSpace, materials, E: np.ndarray
     cplx = np.iscomplexobj(E)
     ftype = np.complex128 if cplx else np.float64
 
-    cache = getattr(space, "_gradflux_cache", None)
-    if cache is None:
-        rt = RTSpace(mesh, space.order - 1)
-        # Per-bucket data: physical ND/RT tables, permittivities.
-        setup = []
-        mass_tables = []
-        for bi, b in enumerate(mesh.buckets):
-            q = default_qorder(space.order, b.geo_order, b.geom)
-            gf = geom_mod.compute(mesh.nodes, b, q)
-            V, _ = space.basis_tables(b.geom, gf.qpts)
-            Vr = rt.basis_tables(b.geom, gf.qpts)  # (nq, ndr, sdim)
-            # ND physical values J^-T u_ref.
-            ndphys = np.einsum("eqrs,qnr->eqns", gf.Jinv, V)
-            # RT physical values J w_ref / detJ (signed Piola).
-            rtphys = np.einsum("eqsr,qnr->eqns", gf.J, Vr) / gf.detJ[
-                :, :, None, None]
-            if rt.elem_signs[bi] is not None:
-                # Hex RT face-orientation signs (fem/rt_hex.py).
-                rtphys = rtphys * rt.elem_signs[bi][:, None, :, None]
-            eps = materials.attr_tensor(
-                {a: np.real(t) for a, t in materials.permittivity.items()},
-                b.attr)[:, :sdim, :sdim]
-            setup.append((gf, ndphys, rtphys, eps, bi))
-            A = np.einsum("eqns,eqms,eq->enm", rtphys, rtphys, gf.wdetJ)
-            mass_tables.append((rt.elem_dofs[bi], A))
-        from palace_tpu.ops.partial import BucketTables, PAOperator
-
-        Mrt = PAOperator(rt.num_dofs,
-                         [BucketTables(gidx=g, A=A) for g, A in mass_tables])
-        solve = _solver(Mrt)
-        cache = space._gradflux_cache = (rt, setup, solve)
-    rt, setup, solve = cache
+    rt, setup, solve = _rt_flux_setup(space, materials)
 
     per_bucket = []
     rows_b = np.zeros(rt.num_dofs, ftype)
@@ -188,16 +200,34 @@ def curl_flux_indicators(space: NDSpace, materials, E: np.ndarray,
             curl_ref = np.einsum("qnc,en->eqc", C, ue)
             curl = np.einsum("sreq,eqr->eqs", gf.Jp,
                              curl_ref) / gf.detJ[..., None]
-            if floquet_k is not None:
-                # B correction ~ curl E - i k x E; measured on
-                # cylinder_floquet: '-' gives 2.9e-2 on the indicator Norm,
-                # '+' gives 8.0e-2, no correction ~1 (15x) — keep '-'.
-                Jinv = np.moveaxis(gf.Jinvp, (0, 1), (2, 3))
-                vph = np.einsum("eqrs,qnr->eqns", Jinv, V)
-                Eq = np.einsum("eqns,en->eqs", vph, ue)
-                curl = curl - 1j * np.cross(
-                    np.broadcast_to(floquet_k, Eq.shape), Eq)
         per_bucket.append((gf, V, C, muinv, curl, bi))
+
+    if floquet_k is not None and sdim == 3:
+        # Floquet B correction: iωB = curl E - i k x E, with k x E fed in
+        # as its L2 projection onto RT (reference: eigensolver.cpp:433-439
+        # B += (1/ω) FloquetCorrSolver(E) which solves M_RT y = (k x E, w)
+        # on the B-field RT space, linalg/floquetcorrection.cpp:26-80).
+        # The pointwise (unprojected) k x E gives 2.9e-2 on the
+        # cylinder_floquet indicator Norm; the RT projection is exact.
+        rt, rsetup, rsolve = _rt_flux_setup(space, materials)
+        b_rt = np.zeros(rt.num_dofs, ftype)
+        eqs = []
+        for (gf, V, C, muinv, curl, bi) in per_bucket:
+            ue = E[space.elem_dofs[bi]]
+            if signs_list[bi] is not None:
+                ue = ue * signs_list[bi]
+            ndphys, rtphys = rsetup[bi][1], rsetup[bi][2]
+            Eq = np.einsum("eqns,en->eqs", ndphys, ue)
+            cx = np.cross(np.broadcast_to(floquet_k, Eq.shape), Eq)
+            c = np.einsum("eqns,eqs,eq->en", rtphys, cx, gf.wdetJ)
+            np.add.at(b_rt, rt.elem_dofs[bi].ravel(), c.ravel())
+        y = rsolve(b_rt.real) + (1j * rsolve(b_rt.imag) if cplx else 0.0)
+        corrected = []
+        for (gf, V, C, muinv, curl, bi) in per_bucket:
+            rtphys = rsetup[bi][2]
+            yq = np.einsum("eqns,en->eqs", rtphys, y[rt.elem_dofs[bi]])
+            corrected.append((gf, V, C, muinv, curl - 1j * yq, bi))
+        per_bucket = corrected
 
     num_elem = sum(b.num_elem for b in mesh.buckets)
     eta2 = np.zeros(num_elem)
