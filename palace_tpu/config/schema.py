@@ -808,6 +808,7 @@ class DrivenSolverConfig:
     adaptive_tol: float = 0.0
     adaptive_max_size: int = 20
     adaptive_memory: int = 2
+    adaptive_circuit_synthesis: bool = False
 
 
 @dataclass
@@ -937,6 +938,8 @@ class SolverConfig:
                 adaptive_tol=float(dr.get_value("AdaptiveTol", 0.0)),
                 adaptive_max_size=int(dr.get_value("AdaptiveMaxSamples", 20)),
                 adaptive_memory=int(dr.get_value("AdaptiveMemory", 2)),
+                adaptive_circuit_synthesis=bool(
+                    dr.get_value("AdaptiveCircuitSynthesis", False)),
             )
             dr.check_consumed()
         tr = node.child("Transient")

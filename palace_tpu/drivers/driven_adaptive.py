@@ -30,14 +30,25 @@ from palace_tpu.drivers.common import print_log
 from palace_tpu.models.spaceoperator import SpaceOperator
 
 
-def _orthonormalize(V: List[np.ndarray], w: np.ndarray) -> List[np.ndarray]:
-    """CGS2 against the current basis; append if not in span."""
+def _orthonormalize(V: List[np.ndarray], w: np.ndarray,
+                    R: List[np.ndarray] | None = None) -> List[np.ndarray]:
+    """CGS2 against the current basis; append if not in span.  When R is
+    given, the orthogonalization coefficients (upper-triangular column
+    [h_0..h_{m-1}, ||residual||]) are recorded — the reference's orth_R,
+    whose diagonal carries the pre-normalization vector norms used by the
+    circuit-synthesis scaling (romoperator.cpp:979-1000)."""
+    h = np.zeros(len(V) + 1, complex)
     for _ in range(2):
-        for v in V:
-            w = w - np.vdot(v, w) * v
+        for i, v in enumerate(V):
+            c = np.vdot(v, w)
+            h[i] += c
+            w = w - c * v
     n = np.linalg.norm(w)
+    h[-1] = n
     if n > 1e-13:
         V.append(w / n)
+        if R is not None:
+            R.append(h)
     return V
 
 
@@ -88,7 +99,62 @@ class MinimalRationalInterpolation:
         return float(grid[int(np.argmin(Qv))])
 
 
-def sweep_adaptive(iodata, sop: SpaceOperator, omegas, excitations
+def _print_prom_matrices(iodata, sop, post_dir, V, labels, orth_R,
+                         n_port_modes, K, C, M):
+    """Write the circuit-synthesis reduced matrices rom-Linv/rom-C/rom-Rinv
+    (+ the orthogonalization matrix R) as CSV tables (reference:
+    romoperator.cpp:970-1094 CalculateNormalizedPROMMatrices /
+    PrintPROMMatrices).  Port rows/cols are scaled by orth_R's diagonal to
+    recover the physical port-port circuit block; sample rows keep unit
+    scaling (their normalization is irrelevant for port quantities)."""
+    import os
+
+    from palace_tpu.config import ValueType
+    from palace_tpu.post.tables import Column, Table
+
+    units = iodata.units
+    m = len(V)
+    Vm = np.stack(V, axis=1)
+    R = np.zeros((m, m), complex)
+    for j, col in enumerate(orth_R):
+        R[: len(col), j] = col
+    v_conc = np.ones(m)
+    for j in range(n_port_modes):
+        v_conc[j] = R[j, j].real
+    D = np.diag(v_conc)
+
+    Kr = D @ (Vm.conj().T @ (K @ Vm)) @ D
+    Mr = D @ (Vm.conj().T @ (M @ Vm)) @ D
+    Cr = D @ (Vm.conj().T @ (C @ Vm)) @ D if C is not None else None
+
+    L_inv = Kr / units.scale_factor(ValueType.INDUCTANCE)
+    C_mat = Mr * units.scale_factor(ValueType.CAPACITANCE)
+    R_inv = (Cr / units.scale_factor(ValueType.IMPEDANCE)
+             if Cr is not None else None)
+
+    def write(mat, name):
+        t = Table()
+        cols = [t.add(Column(f"c{i}", lab, precision=17))
+                for i, lab in enumerate(labels)]
+        for i in range(m):
+            for j in range(m):
+                cols[j].data.append(float(mat[i, j]))
+        t.write(os.path.join(post_dir, name))
+
+    write(L_inv.real, "rom-Linv-re.csv")
+    write(C_mat.real, "rom-C-re.csv")
+    if np.iscomplexobj(K) and np.abs(L_inv.imag).max() > 0:
+        write(L_inv.imag, "rom-Linv-im.csv")
+        write(C_mat.imag, "rom-C-im.csv")
+    if R_inv is not None:
+        write(R_inv.real, "rom-Rinv-re.csv")
+        if np.iscomplexobj(C) and np.abs(R_inv.imag).max() > 0:
+            write(R_inv.imag, "rom-Rinv-im.csv")
+    write(R.real, "rom-orthogonalization-matrix-R.csv")
+
+
+def sweep_adaptive(iodata, sop: SpaceOperator, omegas, excitations,
+                   post_dir: str | None = None
                    ) -> Dict[Tuple[int, int], np.ndarray]:
     from palace_tpu.linalg.ordering import dof_coordinates, splu_nd
 
@@ -139,10 +205,30 @@ def sweep_adaptive(iodata, sop: SpaceOperator, omegas, excitations
         return lu.solve(rhs(ex, omega))
 
     V: List[np.ndarray] = []
+    labels: List[str] = []
+    orth_R: List[np.ndarray] = []
 
-    def add_solution(E):
-        _orthonormalize(V, E.real.astype(complex))
-        _orthonormalize(V, 1j * E.imag.astype(complex))
+    def add_vector(w, label):
+        before = len(V)
+        _orthonormalize(V, w, orth_R)
+        if len(V) > before:
+            labels.append(label)
+
+    def add_solution(E, label="sample"):
+        add_vector(E.real.astype(complex), label)
+        add_vector(1j * E.imag.astype(complex), label)
+
+    # Circuit synthesis: seed the basis with the lumped-port mode fields so
+    # the reduced K/C/M carry a port-port circuit block (reference:
+    # romoperator.cpp:624-675 AddLumpedPortModesForSynthesis; port modes
+    # come first and in port order).
+    synthesis = bool(getattr(cfg, "adaptive_circuit_synthesis", False))
+    n_port_modes = 0
+    if synthesis:
+        for idx in sorted(sop.ports):
+            et = sop.lumped_port_primary_et(idx).astype(complex)
+            add_vector(et, f"port_{idx}")
+        n_port_modes = len(V)
 
     def reduced_tables():
         Vm = np.stack(V, axis=1)  # (n, m)
@@ -170,11 +256,13 @@ def sweep_adaptive(iodata, sop: SpaceOperator, omegas, excitations
     for ex in excitations:
         mri = MinimalRationalInterpolation()
         max_errors = []
+        sample_no = 0
         # Endpoint initialization (drivensolver.cpp:1167 prom_indices).
         for om in (omega_lo, omega_hi):
             E = solve_hdm(om, ex)
             total_hdm += 1
-            add_solution(E)
+            add_solution(E, f"sample_e{ex}_s{sample_no}")
+            sample_no += 1
             mri.add_sample(om, E)
         max_errors = [math.inf, math.inf]  # endpoint estimates inaccurate
         memory = 0
@@ -192,13 +280,18 @@ def sweep_adaptive(iodata, sop: SpaceOperator, omegas, excitations
             print_log(iodata, f"  PROM greedy it {it - 1} (n = {len(V)}): "
                               f"omega* = {om_star:.6f}, error = {err:.3e}, "
                               f"memory = {memory}/{conv_memory}")
-            add_solution(E)
+            add_solution(E, f"sample_e{ex}_s{sample_no}")
+            sample_no += 1
             mri.add_sample(om_star, E)
             it += 1
         status = ("converged" if memory >= conv_memory
                   else "reached maximum samples")
         print_log(iodata, f"  PROM {status}: {it} samples, basis {len(V)}, "
                           f"last error {max_errors[-1]:.3e} (tol {tol:.1e})")
+
+    if synthesis and post_dir is not None:
+        _print_prom_matrices(iodata, sop, post_dir, V, labels, orth_R,
+                             n_port_modes, K, C, M)
 
     # Online sweep.
     tabs = reduced_tables()
