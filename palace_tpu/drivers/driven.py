@@ -69,6 +69,7 @@ class PortMeasurement:
     I: complex = 0.0
     S: complex = 0.0
     P: complex = 0.0
+    Z_PV: complex = 0.0  # wave port mode characteristic impedance V·V*/P_mode
     I_RLC: Tuple[complex, complex, complex] = (0.0, 0.0, 0.0)
     inductor_energy: float = 0.0
     capacitor_energy: float = 0.0
@@ -163,6 +164,12 @@ def measure_step(sop: SpaceOperator, E: np.ndarray, omega: float,
         if idx == _drive_port(sop, excitation_idx):
             pm.S = pm.S - 1.0
         pm.P = sop.port_power_trace(sop._wp_trace_bases[idx], E, omega)
+        if getattr(wp.cfg, "voltage_path", None):
+            # V_wp = ∫E·dl along the VoltagePath; Z_PV = V_exc·V_exc* for the
+            # power-normalized mode (reference: postoperator.cpp:1235-1253).
+            pm.V = wp.solution_voltage(sop.space, E)
+            sol = wp.solve_mode(omega)
+            pm.Z_PV = sol.V_exc * np.conj(sol.V_exc)
         m.ports[idx] = pm
 
     if probe_locs is not None:
@@ -228,7 +235,8 @@ def solve(iodata: IoData, output_dir: str | None = None):
         if restart > 1:
             raise ValueError('"Restart" is incompatible with adaptive sweeps')
         with timers.block("PROM construction"):
-            sols = sweep_adaptive(iodata, sop, omegas, excitations)
+            sols = sweep_adaptive(iodata, sop, omegas, excitations,
+                                  post_dir=post_dir)
     else:
         with timers.block("Linear solve"):
             sols = sweep_uniform(iodata, sop, omegas, excitations, skip=skip)
@@ -365,8 +373,21 @@ def sweep_uniform(iodata, sop: SpaceOperator, omegas, excitations, skip=0
     sweep_uniform_device._last_info = None
     if use_device_ksp(iodata, sop.space.num_dofs) and not sop.floquet_ports:
         try:
-            return sweep_uniform_device(iodata, sop, omegas, excitations,
+            sols = sweep_uniform_device(iodata, sop, omegas, excitations,
                                         skip=skip)
+            info = sweep_uniform_device._last_info or {}
+            # Accept only converged solves: a stalled FGMRES (seen on
+            # curved-hex wave-port systems) returns a plausible-looking but
+            # few-percent-wrong field — re-solve direct instead of shipping
+            # it (the reference's KSP errors out on non-convergence,
+            # ksp.cpp BaseKspSolver::Mult).
+            relres = float(info.get("relres_max", 0.0))
+            tol = max(iodata.solver.linear.tol, 1e-12)
+            if relres <= max(100.0 * tol, 1e-6):
+                return sols
+            print_log(iodata, f"  device ksp did not converge (relres "
+                              f"{relres:.2e}); falling back to sparse-direct "
+                              "sweep")
         except Exception as e:  # pragma: no cover - robustness fallback
             print_log(iodata, f"  device ksp failed ({e!r}); "
                               "falling back to sparse-direct sweep")
@@ -397,6 +418,7 @@ def sweep_uniform_device(iodata, sop: SpaceOperator, omegas, excitations,
     nfreq = len(omegas)
     sols: Dict[Tuple[int, int], np.ndarray] = {}
     total_its = 0
+    relres_max = 0.0
     for k, ex in enumerate(ex_list):
         todo = [i for i in range(nfreq) if k * nfreq + i >= skip]
         if not todo:
@@ -410,10 +432,12 @@ def sweep_uniform_device(iodata, sop: SpaceOperator, omegas, excitations,
             rhs[:, i] = b
         X, info = solver.solve(rhs)
         total_its += int(info["iterations"].sum())
+        relres_max = max(relres_max, float(np.max(info["relres"])))
         for i in todo:
             sols[(ex, i)] = X[:, i]
     sweep_uniform_device._last_info = {"total_its": total_its,
-                                       "solves": len(sols)}
+                                       "solves": len(sols),
+                                       "relres_max": relres_max}
     return sols
 
 
@@ -677,7 +701,10 @@ def write_driven_tables(iodata: IoData, sop: SpaceOperator, post_dir: str,
                                     math.degrees(math.atan2(S.imag, S.real)))
         t.write(os.path.join(post_dir, "port-floquet-S.csv"))
 
-    # port-V / port-I (lumped ports only; wave ports have no unique V/I)
+    # port-V / port-I (lumped ports; wave ports with a VoltagePath get
+    # V_wp columns in port-V, reference: postoperatorcsv.cpp:1005-1098).
+    vwp_ports = [i for i, wp in sorted(sop.wave_ports.items())
+                 if getattr(wp.cfg, "voltage_path", None)]
     for name, unit, scale, inc_fn, get in () if not sop.ports else (
         ("V", "(V)", V, lambda p: p.excitation_voltage(),
          lambda pm: pm.V),
@@ -695,6 +722,12 @@ def write_driven_tables(iodata: IoData, sop: SpaceOperator, post_dir: str,
             for idx in sop.ports:
                 t.add(Column(f"re{idx}{ex}", f"Re{{{name}[{idx}]{sfx}}} {unit}"))
                 t.add(Column(f"im{idx}{ex}", f"Im{{{name}[{idx}]{sfx}}} {unit}"))
+            if name == "V":
+                for idx in vwp_ports:
+                    t.add(Column(f"rew{idx}{ex}",
+                                 f"Re{{V_wp[{idx}]{sfx}}} {unit}"))
+                    t.add(Column(f"imw{idx}{ex}",
+                                 f"Im{{V_wp[{idx}]{sfx}}} {unit}"))
         for i, f in enumerate(freqs_ghz):
             fc.data.append(f)
             for ex in excitations:
@@ -707,7 +740,46 @@ def write_driven_tables(iodata: IoData, sop: SpaceOperator, post_dir: str,
                     val = get(mm.ports[idx])
                     t.col(f"re{idx}{ex}").data.append(val.real * scale)
                     t.col(f"im{idx}{ex}").data.append(val.imag * scale)
+                if name == "V":
+                    for idx in vwp_ports:
+                        val = mm.ports[idx].V
+                        t.col(f"rew{idx}{ex}").data.append(val.real * scale)
+                        t.col(f"imw{idx}{ex}").data.append(val.imag * scale)
         t.write(os.path.join(post_dir, f"port-{name}.csv"))
+
+    # port-Z: wave-port impedances (reference: postoperatorcsv.cpp
+    # InitializePortZ/PrintPortZ).  Z_PV[i] = V_exc·V_exc* of the
+    # power-normalized mode; Z[i][ex] = V_wp·V_wp*/P with P the full
+    # (un-halved) Poynting integral through the port, so Re{Z} < 0 at a
+    # passive port where power exits the domain.
+    if vwp_ports:
+        Ohm = units.scale_factor(ValueType.IMPEDANCE)
+        t = Table()
+        fc = t.add(freq_col())
+        for idx in vwp_ports:
+            t.add(Column(f"zpvr{idx}", f"Re{{Z_PV[{idx}]}} (Ohm)"))
+            t.add(Column(f"zpvi{idx}", f"Im{{Z_PV[{idx}]}} (Ohm)"))
+        for ex in excitations:
+            sfx = f"[{ex}]" if multi else ""
+            for idx in vwp_ports:
+                t.add(Column(f"zr{idx}{ex}", f"Re{{Z[{idx}]{sfx}}} (Ohm)"))
+                t.add(Column(f"zi{idx}{ex}", f"Im{{Z[{idx}]{sfx}}} (Ohm)"))
+        ex0 = next(iter(excitations))
+        for i, f in enumerate(freqs_ghz):
+            fc.data.append(f)
+            for idx in vwp_ports:
+                zpv = meas[(ex0, i)].ports[idx].Z_PV * Ohm
+                t.col(f"zpvr{idx}").data.append(zpv.real)
+                t.col(f"zpvi{idx}").data.append(zpv.imag)
+            for ex in excitations:
+                mm = meas[(ex, i)]
+                for idx in vwp_ports:
+                    pm = mm.ports[idx]
+                    Zv = (pm.V * np.conj(pm.V) / pm.P * Ohm
+                          if abs(pm.P) > 0 else 0.0 + 0.0j)
+                    t.col(f"zr{idx}{ex}").data.append(Zv.real)
+                    t.col(f"zi{idx}{ex}").data.append(Zv.imag)
+        t.write(os.path.join(post_dir, "port-Z.csv"))
 
     # domain-E
     t = Table()

@@ -125,6 +125,16 @@ def hex_rt_keys_signs(k: int, corners: np.ndarray, bucket_id: int
             cl = fc[(d, side)]
             gids = g[:, cl]
             var, sgn = _rt_face_variant(k, gids, j, l)
+            # Face-loop handedness: the corner loop runs counterclockwise
+            # in the ascending (u, v) cross-axes frame, whose right-hand
+            # normal is e_u x e_v = -e_1 for d == 1 (u, v) = (0, 2) but
+            # +e_d for d in (0, 2).  The global dof sign is the basis'
+            # +e_d flux against the canonical-loop normal det(R) eps e_d;
+            # without eps, O-grid meshes that glue an x-face to a y-face
+            # lose H(div) conformity (box meshes pair equal axes and never
+            # see it).
+            if d == 1:
+                sgn = -sgn
             kk = np.full((E, 7), -1, np.int64)
             kk[:, 0] = dofmap.KIND_QUAD
             kk[:, 1:5] = np.sort(gids, axis=1)

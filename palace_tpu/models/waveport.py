@@ -44,6 +44,7 @@ class ModeSolution:
     kn: complex
     et: np.ndarray  # complex, port ND dofs
     en: np.ndarray  # complex, port H1 dofs (physical En after back-transform)
+    V_exc: complex = 0.0  # mode voltage ∫E_mode·dl along the VoltagePath
 
 
 class WavePortData:
@@ -51,6 +52,7 @@ class WavePortData:
 
     def __init__(self, iodata: IoData, mesh: Mesh, cfg, materials, dbc_attrs):
         self.cfg = cfg
+        self._iodata = iodata
         self.index = cfg.index
         self.attrs = list(cfg.attributes)
         self.excitation = cfg.excitation
@@ -453,6 +455,79 @@ class WavePortData:
         phase = np.exp(-1j * np.angle(sol.et[k]))
         sol.et *= scale * phase
         sol.en *= scale * phase
+        # VoltagePath polarity: flip the mode sign so the modal voltage
+        # V_exc = ∫ E_mode · dl along the configured path is real-positive,
+        # tying the polarity to a physical direction like a lumped port's
+        # "+R Direction" (reference: waveportoperator.cpp:721-748).
+        if getattr(self.cfg, "voltage_path", None):
+            V = self.excitation_voltage(sol)
+            if V.real < 0:
+                sol.et *= -1.0
+                sol.en *= -1.0
+                V = -V
+            sol.V_exc = complex(V)
+
+    # -- VoltagePath line integrals (reference: waveportoperator.cpp:943-1016
+    # GetVoltage/GetExcitationVoltage/GetCharacteristicImpedance, with GSLIB
+    # interpolation replaced by the KD-tree + Newton point locator) ----------
+
+    def _voltage_rule(self):
+        """Gauss-Legendre samples (pts3 (n,3), w·dl (n,3)) along the
+        VoltagePath polyline, in the nondimensional mesh frame."""
+        if hasattr(self, "_vrule"):
+            return self._vrule
+        path = getattr(self.cfg, "voltage_path", None)
+        if not path or len(path) < 2:
+            self._vrule = None
+            return None
+        from palace_tpu.drivers.common import nondim_point
+
+        n = max(1, int(getattr(self.cfg, "n_samples", 100)))
+        xg, wg = np.polynomial.legendre.leggauss(n // 2 + 1)
+        t, w = 0.5 * (xg + 1.0), 0.5 * wg
+        P = [np.asarray(nondim_point(self._iodata, p), float) for p in path]
+        pts, wdl = [], []
+        for a, b in zip(P[:-1], P[1:]):
+            dl = b - a
+            pts.append(a[None, :] + t[:, None] * dl[None, :])
+            wdl.append(w[:, None] * dl[None, :])
+        self._vrule = (np.concatenate(pts), np.concatenate(wdl))
+        return self._vrule
+
+    def excitation_voltage(self, sol: ModeSolution) -> complex:
+        """Modal voltage ∫ E_mode·dl over the path (2D submesh evaluation;
+        the path lies in the port plane so only the tangential mode field
+        contributes)."""
+        rule = self._voltage_rule()
+        if rule is None:
+            return 0.0 + 0.0j
+        from palace_tpu.fem.evaluation import PointLocator, eval_nd
+
+        pts3, wdl3 = rule
+        T = np.stack([self.t1, self.t2], axis=1)  # (3, 2)
+        if not hasattr(self, "_vlocs2"):
+            self._vlocs2 = PointLocator(self.mesh2).locate(
+                (pts3 - self.origin) @ T)
+        Ev = eval_nd(self.nd, sol.et, self._vlocs2)  # (n, 2) complex
+        return complex(np.einsum("ns,ns->", Ev, wdl3 @ T))
+
+    def solution_voltage(self, space, E: np.ndarray) -> complex:
+        """Total-field wave port voltage V_wp = ∫ E·dl along the path,
+        evaluated on the 3D solution (reference: GetVoltage)."""
+        rule = self._voltage_rule()
+        if rule is None:
+            return 0.0 + 0.0j
+        from palace_tpu.fem.evaluation import PointLocator, eval_nd
+
+        pts3, wdl3 = rule
+        if not hasattr(self, "_vlocs3"):
+            loc = getattr(space.mesh, "_plocator", None)
+            if loc is None:
+                loc = PointLocator(space.mesh)
+                space.mesh._plocator = loc
+            self._vlocs3 = loc.locate(pts3)
+        Ev = eval_nd(space, E, self._vlocs3)  # (n, 3) complex
+        return complex(np.einsum("ns,ns->", Ev, wdl3))
 
 
 def _pad3(t2: np.ndarray) -> np.ndarray:

@@ -155,3 +155,54 @@ def test_rt_hex_poly_projection_exact(k):
     Fh = np.einsum("eqns,en->eqs", rtphys, u[g])
     err = np.abs(Fh - F).max() / np.abs(F).max()
     assert err < 1e-10, err
+
+
+@pytest.mark.parametrize("k", [0, 1, 2])
+def test_rt_hex_axis_rotation_invariance(k):
+    """H(div) conformity when a hex's LOCAL axes are rotated so an x-face
+    glues to a y-face (the O-grid core/ring situation, e.g. the reference
+    cylinder_hex mesh): the projection of a polynomial in RT_k must stay
+    pointwise exact.  Pins the eps(face-axis) handedness factor in
+    hex_rt_keys_signs — node-shuffle tests never exercise it because every
+    element keeps axis-aligned local frames."""
+    import scipy.sparse as sp_
+    import scipy.sparse.linalg as spl
+
+    from palace_tpu.mesh import geometry
+    from palace_tpu.mesh.generate import box_hex
+    from palace_tpu.mesh.mesh import Mesh
+
+    mesh = box_hex(2, 1, 1)
+    b = mesh.buckets[0]
+    # Rotate element 1's local frame 90 degrees about z: gmsh hex corners
+    # bottom (0,1,2,3) CCW + top (4,5,6,7) -> [3,0,1,2,7,4,5,6] (det > 0).
+    rot = [3, 0, 1, 2, 7, 4, 5, 6]
+    conn = b.conn.copy()
+    conn[1] = conn[1][rot]
+    b.conn = conn
+    mesh = Mesh(mesh.nodes, [b], mesh.bdr_buckets, {})
+
+    rt = RTSpace(mesh, k)
+    gf = geometry.compute(mesh.nodes, b, 2 * k + 4)
+    Vr = rt.basis_tables(Geom.HEX, gf.qpts)
+    rtphys = np.einsum("eqsr,qnr->eqns", gf.J, Vr) / gf.detJ[:, :, None, None]
+    rtphys = rtphys * rt.elem_signs[0][:, None, :, None]
+    gb = ref.gmsh_geometry_basis(b.etype)
+    N = gb.eval(gf.qpts)
+    pts = np.einsum("ens,qn->eqs", mesh.nodes[b.conn], N)
+    x, y, z = pts[..., 0], pts[..., 1], pts[..., 2]
+    F = np.stack([1.0 + 2 * x, y - 3.0, 0.5 - z], axis=-1)
+
+    d = rt.elem_dofs[0]
+    n = d.shape[1]
+    A = np.einsum("eqns,eqms,eq->enm", rtphys, rtphys, gf.wdetJ)
+    M = sp_.coo_matrix(
+        (A.ravel(), (np.repeat(d, n, axis=1).ravel(),
+                     np.tile(d, (1, n)).ravel())),
+        shape=(rt.num_dofs,) * 2).tocsc()
+    rhs = np.zeros(rt.num_dofs)
+    c = np.einsum("eqns,eqs,eq->en", rtphys, F, gf.wdetJ)
+    np.add.at(rhs, d.ravel(), c.ravel())
+    yv = spl.spsolve(M, rhs)
+    Fq = np.einsum("eqns,en->eqs", rtphys, yv[d])
+    assert np.abs(Fq - F).max() < 1e-9
