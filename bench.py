@@ -1,30 +1,37 @@
-"""Headline benchmark: H(curl) curl-curl operator apply throughput.
+"""Headline benchmark: H(curl) operator apply throughput, two paths.
 
-The innermost hot operation of every driver (reference: the libCEED operator
-apply, palace/fem/libceed/operator.cpp:148-214, benchmarked by
+The innermost hot operation of every driver (reference: the libCEED
+operator apply, palace/fem/libceed/operator.cpp:148-214, benchmarked by
 test/unit/test-libceed.cpp:1260-1440), at the BASELINE north-star order
-p = 3 on ~490k dofs.
+p = 3.
 
-Headline path: the STRUCTURED-MESH stencil convolution
-(palace_tpu/ops/structured.py) — on a uniform box hex mesh the assembled
-operator is translation invariant, so the apply is one
-`lax.conv_general_dilated` over a (B, C, nx, ny, nz) dof lattice with
-C = 3 p^3 channels: a dense MXU workload with NO gathers (the per-row
-dynamic-slice issue cost, ~10 ns/row on v5e, bounded the round-1
-unstructured formulation at 4.1 GDOF/s; see PERF_NOTES.md).
+Rows (one JSON line each, printed as soon as measured):
 
-vs_baseline = achieved / roofline-model of this formulation, where the
-model time is max(conv FLOPs at peak MXU rate, u+y streamed once at HBM
-speed) — 1.0 means the stencil conv runs at this chip's speed of light.
-Measured r2 on v5e: 23.6 GDOF/s per vector at bf16, B = 512 (~50% of the
-conv FLOP roofline, 99 TFLOP/s sustained).
+1. unstructured production apply (ops/partial.py batched element matmul +
+   gather/segment-sum — the path every regression-corpus solve runs),
+   f32 blocked and complex128 (the dtype production device solves use);
+2. structured-mesh stencil-conv apply (ops/structured.py — uniform box
+   hex fast path), bf16 and f32.
 
-Prints one JSON line.
+vs_baseline is honest chip speed-of-light: achieved / (N / t_model) with
+t_model = max(minimal_flops / chip_peak(dtype), minimal_bytes / chip_BW),
+where minimal_flops is the assembled-CSR matvec count 2*nnz (unstructured)
+or the element-matmul count 2*E*nd^2 (structured; the conv itself pads
+~8.5x more FLOPs — those do NOT enter the model), and minimal_bytes
+streams u + y once plus the operator tables amortized over the block.
+For f64/complex128 the FLOP term is omitted (no public TPU f64 MXU rate);
+the bandwidth-only model is an upper bound, so vs_baseline is understated.
+
+Setup is kept under ~15 s: the structured operator builds via
+StructuredNDOperator.build_uniform (single reference-cell element matrix +
+analytic PEC lattice mask) instead of assembling the full 18^3 space — the
+r2 bench timed out in exactly that host-side setup.
 """
 
 from __future__ import annotations
 
 import json
+import sys
 import time
 
 import numpy as np
@@ -60,61 +67,133 @@ def _measure(apply, u, iters):
     return max((time.perf_counter() - t0) - rtt, 1e-9) / iters
 
 
-def main():
+def _emit(metric, gdofs, model_gdofs):
+    print(json.dumps({
+        "metric": metric,
+        "value": round(gdofs, 4),
+        "unit": "GDOF/s",
+        "vs_baseline": round(gdofs / model_gdofs, 4),
+    }))
+    sys.stdout.flush()
+
+
+def _chip():
+    import jax
+
+    d = jax.devices()[0]
+    on_tpu = d.platform == "tpu"
+    kind = d.device_kind.lower()
+    if on_tpu:
+        if "v5p" in kind or "v5 p" in kind:
+            bw, peak_bf16 = 2.7e12, 4.59e14
+        elif "lite" in kind or "v5e" in kind:
+            bw, peak_bf16 = 8.2e11, 1.97e14
+        else:
+            bw, peak_bf16 = 1.2e12, 2.75e14
+    else:
+        bw, peak_bf16 = 5e10, 1e11
+    return on_tpu, bw, {"bfloat16": peak_bf16, "float32": peak_bf16 / 4.0}
+
+
+def bench_unstructured(on_tpu, bw, peaks):
     import jax
     import jax.numpy as jnp
 
     from palace_tpu.fem.nd import NDSpace
     from palace_tpu.fem.nd_operators import nd_operator
-    from palace_tpu.mesh.generate import box_hex
+    from palace_tpu.mesh.generate import box_tet
+    from palace_tpu.mesh.mesh import canonicalize_simplices
+
+    n = 16 if on_tpu else 4
+    mesh = box_tet(n, n, n)
+    canonicalize_simplices(mesh)
+    space = NDSpace(mesh, 3)
+    eye = {1: np.eye(3)}
+    op = nd_operator(space, curl_coef=eye, mass_coef=eye)
+    N = space.num_dofs
+    t = op._tables[0]
+    gidx, perm, seg = t["gidx"], op._scatter_tree["perm"], \
+        op._scatter_tree["seg_ids"]
+    E, nd = gidx.shape
+
+    # Assembled-CSR nnz (minimal-FLOP denominator), estimated per-element
+    # from a small mesh of the same family (ratio is mesh-size invariant to
+    # ~1%; the full COO would cost ~1 GB of host memory here).
+    m_s = box_tet(6, 6, 6)
+    canonicalize_simplices(m_s)
+    s_s = NDSpace(m_s, 3)
+    op_s = nd_operator(s_s, curl_coef=eye, mass_coef=eye)
+    nnz = op_s.assemble_csr().nnz * (E / op_s.buckets[0].gidx.shape[0])
+
+    rng = np.random.default_rng(0)
+    for dtype, B, iters in ((jnp.float32, 512 if on_tpu else 4,
+                             20 if on_tpu else 3),
+                            (jnp.complex128, 32 if on_tpu else 2,
+                             10 if on_tpu else 3)):
+        is_c = jnp.issubdtype(dtype, jnp.complexfloating)
+        A = t["A"].astype(dtype)
+        U = rng.standard_normal((N, B))
+        if is_c:
+            U = U + 1j * rng.standard_normal((N, B))
+        U = jnp.asarray(U.astype(dtype))
+
+        def blocked_apply(u):
+            ul = u[gidx]
+            vl = jnp.einsum("enm,emb->enb", A, ul)
+            return jax.ops.segment_sum(vl.reshape(-1, B)[perm], seg,
+                                       num_segments=N,
+                                       indices_are_sorted=True)
+
+        dt = _measure(blocked_apply, U, iters) / B
+        gdofs = N / dt / 1e9
+        item = jnp.dtype(dtype).itemsize
+        flops = (8.0 if is_c else 2.0) * nnz
+        tbl_bytes = nnz * (item + 4)
+        bytes_ = 2.0 * N * item + tbl_bytes / B
+        name = jnp.dtype(dtype).name
+        t_model = bytes_ / bw
+        if name in peaks:
+            t_model = max(t_model, flops / peaks[name])
+        _emit(f"hcurl_p3_unstructured_apply_{name}_b{B}", gdofs,
+              N / t_model / 1e9)
+
+
+def bench_structured(on_tpu, bw, peaks):
+    import jax.numpy as jnp
+
     from palace_tpu.ops.structured import StructuredNDOperator
 
-    platform = jax.devices()[0].platform
-    on_tpu = platform == "tpu"
-    # 18^3 hex cells at p = 3: 490k dofs, C = 81 lattice channels.
     n = 18 if on_tpu else 4
-    order = 3
-    B = 512 if on_tpu else 8
-    dtype = jnp.bfloat16 if on_tpu else jnp.float32
-    iters = 20 if on_tpu else 5
+    p = 3
+    for dtype, B, iters in ((jnp.float32, 128 if on_tpu else 4,
+                             20 if on_tpu else 3),
+                            (jnp.bfloat16, 512 if on_tpu else 4,
+                             20 if on_tpu else 3)):
+        sop = StructuredNDOperator.build_uniform(p, (n, n, n), 1.0 / n,
+                                                 dtype=dtype)
+        import jax
 
-    kind = jax.devices()[0].device_kind.lower()
-    if on_tpu:
-        bw = (2.7e12 if "v5p" in kind or "v5 p" in kind else
-              8.2e11 if "lite" in kind or "v5e" in kind else 1.2e12)
-        peak = (4.59e14 if "v5p" in kind or "v5 p" in kind else
-                1.97e14 if "lite" in kind or "v5e" in kind else 2.75e14)
-    else:
-        bw, peak = 5e10, 1e11
+        key = jax.random.PRNGKey(0)
+        lat = jax.random.normal(key, (B,) + sop.lat_gdof.shape, dtype)
+        dt = _measure(sop, lat, iters) / B
+        N = sop.num_dofs
+        gdofs = N / dt / 1e9
+        C = sop.W.shape[0]
+        nd = sop._Af.shape[0]
+        ncell = n ** 3
+        item = jnp.dtype(dtype).itemsize
+        flops = 2.0 * ncell * nd * nd  # element-matmul minimum, per vector
+        bytes_ = 2.0 * C * ncell * item + sop.W.size * item / B
+        name = jnp.dtype(dtype).name
+        t_model = max(bytes_ / bw, flops / peaks[name])
+        _emit(f"hcurl_p3_structured_stencil_apply_{name}_b{B}", gdofs,
+              N / t_model / 1e9)
 
-    mesh = box_hex(n, n, n)
-    space = NDSpace(mesh, order)
-    op = nd_operator(space, curl_coef={1: np.eye(3)}, dtype=jnp.float64)
-    ess = np.zeros(space.num_dofs, bool)
-    ess[space.boundary_dofs([1, 2, 3, 4, 5, 6])] = True
-    N = space.num_dofs
 
-    sop = StructuredNDOperator.build(space, op, ess, dtype=dtype)
-    key = jax.random.PRNGKey(0)
-    lat = jax.random.normal(key, (B,) + sop.lat_gdof.shape, dtype)
-
-    dt = _measure(sop, lat, iters) / B
-    gdofs = N / dt / 1e9
-
-    C = sop.W.shape[0]
-    ncell = n ** 3
-    itemsize = jnp.dtype(dtype).itemsize
-    flops = 2.0 * 27 * C * C * ncell  # per vector
-    bytes_ = 2.0 * C * ncell * itemsize  # u + y per vector
-    t_model = max(flops / peak, bytes_ / bw)
-    model = N / t_model / 1e9
-    print(json.dumps({
-        "metric": f"hcurl_p{order}_structured_stencil_apply_"
-                  f"{jnp.dtype(dtype).name}_b{B}",
-        "value": round(gdofs, 4),
-        "unit": "GDOF/s",
-        "vs_baseline": round(gdofs / model, 4),
-    }))
+def main():
+    on_tpu, bw, peaks = _chip()
+    bench_unstructured(on_tpu, bw, peaks)
+    bench_structured(on_tpu, bw, peaks)
 
 
 if __name__ == "__main__":

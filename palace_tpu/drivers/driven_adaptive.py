@@ -180,7 +180,11 @@ def sweep_adaptive(iodata, sop: SpaceOperator, omegas, excitations,
     free_mask = ~sop.ess_mask
 
     def kn(idx, omega):
-        return complex(wave_ports[idx].solve_mode(omega).kn)
+        # Propagation-constant real part only, matching the uniform-sweep
+        # convention (spaceoperator.waveport_a2_csr) and the reference ROM
+        # (romoperator.cpp:889 via GetWavePortKn -> kn0.real()): the wave
+        # -port DtN term is i*Re{kn}*Mwp even for lossy/near-cutoff modes.
+        return float(wave_ports[idx].solve_mode(omega).kn.real)
 
     import scipy.sparse as sp
 

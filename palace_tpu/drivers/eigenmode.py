@@ -114,13 +114,13 @@ def solve(iodata: IoData, output_dir: str | None = None):
         for attempt in range(3):
             k_req = 2 * nev + extra
             if Ccsr is not None and abs(Ccsr).max() > 0:
-                # ARPACK declaration tolerance: strongly non-normal
-                # pencils (near-PEC impedance walls, 1/Rs ~ 2e4) converge
-                # an order of magnitude faster at 1e-6 with no visible
-                # change in the reported eigenvalues at the 1e-4
-                # comparison level.
+                # cfg.tol is the user's declaration tolerance verbatim (the
+                # default is already 1e-6; strongly non-normal pencils
+                # converge much faster there, but an explicitly tighter
+                # request must be honored — reference ARPACK/SLEPc pass the
+                # config Tol through unchanged, eigensolver.cpp:169-176).
                 result = quadratic_eigs(Kcsr, Ccsr, Mcsr, ess, 1j * omega_t,
-                                        k_req, tol=max(cfg.tol, 1e-6),
+                                        k_req, tol=cfg.tol,
                                         divfree=divfree)
                 omega = -1j * result.eigenvalues  # lam = i omega
             else:

@@ -38,6 +38,13 @@ def _eigs_partial_ok(op, nev, which, tol, maxiter):
     except spla.ArpackNoConvergence as e:
         if len(e.eigenvalues) == 0:
             raise
+        import warnings
+
+        warnings.warn(
+            f"ARPACK converged only {len(e.eigenvalues)}/{nev} eigenpairs "
+            f"within {maxiter} iterations (tol {tol:.1e}); using the "
+            "partial set — check the reported backward errors",
+            RuntimeWarning, stacklevel=2)
         return e.eigenvalues, e.eigenvectors
 
 
@@ -183,8 +190,13 @@ def quadratic_eigs(
 
     op = spla.LinearOperator((2 * m, 2 * m), matvec=matvec,
                              dtype=np.complex128)
+    # Restart budget: the reduced default (300, 10*nev) is tuned for the
+    # loose-tolerance production path; an explicitly tight tolerance gets
+    # the full classic budget so user-requested accuracy is not silently
+    # abandoned via partial convergence.
+    default_it = max(300, 10 * nev) if tol >= 1e-6 else max(1000, 40 * nev)
     mu, zvecs = _eigs_partial_ok(op, nev, "LM", tol,
-                                 max_it or max(300, 10 * nev))
+                                 max_it or default_it)
     vals = sigma + 1.0 / mu
     vecs = zvecs[:m]
     order = np.argsort(np.abs(vals - sigma))

@@ -5,9 +5,11 @@ in diffraction orders (reference: palace/models/floquetportoperator.cpp):
 
   - a full-rank Robin term i gamma_00(omega) mu^-1 boundary mass is part of
     the system damping (AddExtraSystemBdrCoefficients, :980-996);
-  - a low-rank correction F(omega) = sum_k g_k conj(v_k) v_k^T over the
-    BZ-centered order range gives each diffraction order its correct DtN
-    eigenvalue (LowRankComplexOperator, ComputeDtNCorrectionCoeff :702-741);
+  - a low-rank correction F(omega) = sum_k g_k v_k v_k^H (NOT
+    g conj(v) v^T; the r2 fix, commit 7c5b853, matched the reference's
+    LowRankComplexOperator::AddMult semantics) over the BZ-centered order
+    range gives each diffraction order its correct DtN eigenvalue
+    (LowRankComplexOperator, ComputeDtNCorrectionCoeff :702-741);
   - the incident plane wave enters as RHS2 = c_inc 2i alpha_p lambda_p /
     mu_r conj(v_p) for the (0,0) TE/TM modes (AddExcitationVector :876-915);
   - per-order S-parameters are power-normalized Fourier amplitudes
@@ -255,7 +257,8 @@ class FloquetPortData:
         return 0.0
 
     def lowrank_terms(self, omega: float):
-        """[(g_correction, v)] for F(omega) = sum g conj(v) v^T."""
+        """[(g_correction, v)] for F(omega) = sum g v v^H (Woodbury form
+        U diag(g) U^H with U columns v)."""
         self.initialize(omega)
         g_uni = 1j * self.gamma0 / (self.mu_r * self.area)
         out = []

@@ -472,7 +472,7 @@ class SpaceOperator:
     def floquet_port_a2_csr(self, omega: float) -> Optional[sp.csr_matrix]:
         """Floquet-port DtN contribution to A2(omega): the full-rank Robin
         term i gamma_00 (mu^-1 u_t, v_t) on the port faces plus the
-        low-rank per-order correction sum_k g_k conj(v_k) v_k^T (reference:
+        low-rank per-order correction sum_k g_k v_k v_k^H (reference:
         floquetportoperator.cpp:980-996 + GetBoundaryOperator :745-770)."""
         if not self.floquet_ports:
             return None

@@ -141,6 +141,61 @@ class StructuredNDOperator:
                                     space.num_dofs,
                                     jnp.asarray(Af, dtype))
 
+    @staticmethod
+    def build_uniform(p: int, shape: Tuple[int, int, int], h: float,
+                      dtype=jnp.float32, curl: float = 1.0,
+                      mass: float = 0.0) -> "StructuredNDOperator":
+        """Direct constructor for a uniform PEC box grid — no full mesh/space.
+
+        On a uniform grid every element matrix is the single scaled
+        reference-cell matrix, and the PEC essential pattern on the lattice
+        is analytic, so an (nx, ny, nz) operator builds in O(nd^2) host work
+        instead of the O(E nd^2) full-space assembly that `build` requires
+        (the r2 bench timed out in exactly that setup).  Validated against
+        `build` on a real mesh in tests/test_structured.py.
+        """
+        import jax.numpy as jnp_
+
+        from palace_tpu.fem.nd import NDSpace
+        from palace_tpu.fem.nd_operators import nd_operator
+        from palace_tpu.mesh.generate import box_hex
+
+        mesh1 = box_hex(1, 1, 1, lx=h, ly=h, lz=h)
+        space1 = NDSpace(mesh1, p)
+        eye = {1: np.eye(3)}
+        op1 = nd_operator(space1, curl_coef={1: curl * np.eye(3)},
+                          mass_coef=({1: mass * np.eye(3)} if mass else None),
+                          dtype=jnp_.float64)
+        b = op1.buckets[0]
+        Af = np.asarray(b.A)[0]
+        if b.signs is not None:
+            s = np.asarray(b.signs)[0]
+            Af = Af * s[:, None] * s[None, :]
+
+        nx, ny, nz = shape
+        C = 3 * p ** 3
+        deltas, chan = hex_local_map(p)
+        W = np.zeros((C, C, 3, 3, 3))
+        nd = len(chan)
+        for a in range(nd):
+            for bb in range(nd):
+                off = deltas[bb] - deltas[a] + 1
+                W[chan[a], chan[bb], off[0], off[1], off[2]] += Af[a, bb]
+
+        ess_lat = pec_ess_lat(p, shape)
+        # True dof count of the full ND space (incl. the PEC top planes not
+        # represented on the lattice): per direction d, (n_d p) edges along
+        # d times (n_o p + 1) cross planes.
+        npx, npy, npz = nx * p, ny * p, nz * p
+        num_dofs = (npx * (npy + 1) * (npz + 1)
+                    + (npx + 1) * npy * (npz + 1)
+                    + (npx + 1) * (npy + 1) * npz)
+        lat_gdof = np.arange(C * nx * ny * nz,
+                             dtype=np.int64).reshape(C, nx, ny, nz)
+        return StructuredNDOperator(p, shape, jnp.asarray(W, dtype),
+                                    lat_gdof, jnp.asarray(ess_lat),
+                                    num_dofs, jnp.asarray(Af, dtype))
+
     # -- vector layout ------------------------------------------------------
 
     def to_lattice(self, u: np.ndarray) -> np.ndarray:
@@ -181,6 +236,36 @@ class StructuredNDOperator:
         deltas, chan = hex_local_map(self.p)
         return _sliced_apply(self._Af, lat, self.ess_lat,
                              tuple(map(tuple, deltas)), tuple(chan))
+
+
+def pec_ess_lat(p: int, shape: Tuple[int, int, int]) -> np.ndarray:
+    """Analytic PEC (all-faces essential) mask on the dof lattice.
+
+    A d-family dof with intra-cell cross indices (j, k) lies exactly on a
+    domain boundary plane iff its cross coordinate is 0 (low faces; the high
+    faces' dofs are the unowned top lattice planes, excluded from the
+    lattice entirely), i.e. j == 0 in a cell with cross-cell index 0.
+    Cross-checked against `build`'s mesh-derived mask in
+    tests/test_structured.py.
+    """
+    nx, ny, nz = shape
+    C = 3 * p ** 3
+    ess = np.zeros((C, nx, ny, nz), bool)
+    for d in range(3):
+        o = [a for a in range(3) if a != d]
+        for i in range(p):
+            for j in range(p):
+                for k in range(p):
+                    c = _channel_id(p, d, i, j, k)
+                    if j == 0:
+                        sl = [slice(None)] * 3
+                        sl[o[0]] = 0
+                        ess[(c, *sl)] = True
+                    if k == 0:
+                        sl = [slice(None)] * 3
+                        sl[o[1]] = 0
+                        ess[(c, *sl)] = True
+    return ess
 
 
 @functools.partial(jax.jit, static_argnames=("deltas", "chan"))

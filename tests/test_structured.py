@@ -48,3 +48,24 @@ def test_structured_rejects_nonuniform():
     op = nd_operator(space, curl_coef={1: np.eye(3)}, dtype=jnp.float64)
     with pytest.raises(AssertionError):
         StructuredNDOperator.build(space, op)
+
+
+@pytest.mark.parametrize("p", [2, 3])
+def test_build_uniform_matches_build(p):
+    """The direct constructor (single reference-cell matrix + analytic PEC
+    mask; the bench setup path) reproduces the mesh-derived build exactly."""
+    n = 3
+    mesh = box_hex(n, n, n)
+    space = NDSpace(mesh, p)
+    op = nd_operator(space, curl_coef={1: np.eye(3)}, dtype=jnp.float64)
+    ess = np.zeros(space.num_dofs, bool)
+    ess[space.boundary_dofs([1, 2, 3, 4, 5, 6])] = True
+    sop = StructuredNDOperator.build(space, op, ess, dtype=jnp.float64)
+    su = StructuredNDOperator.build_uniform(p, (n, n, n), 1.0 / n,
+                                            dtype=jnp.float64)
+    assert su.num_dofs == space.num_dofs
+    assert np.abs(np.asarray(sop.W) - np.asarray(su.W)).max() < 1e-13
+    assert (np.asarray(sop.ess_lat) == np.asarray(su.ess_lat)).all()
+    rng = np.random.default_rng(1)
+    lat = jnp.asarray(rng.standard_normal((2,) + sop.lat_gdof.shape))
+    assert np.abs(np.asarray(sop(lat)) - np.asarray(su(lat))).max() < 1e-12
