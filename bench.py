@@ -9,9 +9,16 @@ Rows (one JSON line each, printed as soon as measured):
 
 1. unstructured production apply (ops/partial.py batched element matmul +
    gather/segment-sum — the path every regression-corpus solve runs),
-   f32 blocked and complex128 (the dtype production device solves use);
-2. structured-mesh stencil-conv apply (ops/structured.py — uniform box
-   hex fast path), bf16 and f32.
+   f32 blocked, plus a complex row.  The tunneled TPU backend here does not
+   lower complex dot_general at all, so the complex row measures the
+   REAL-PAIR formulation production must use on it: the element matrices
+   are real (complex scalars live in the term coefficients,
+   linalg/device_ksp.py Term), so one complex apply = the real apply on the
+   stacked [Re, Im] column block.  On CPU the row is native complex128.
+2. structured-mesh apply (ops/structured.py — uniform box hex fast path),
+   bf16 and f32, via sliced_apply (shifted-slice E-vector + one shared
+   (nd, nd) MXU matmul — the minimal-FLOP kernel; the stencil-conv variant
+   does not lower on this backend and carried ~8.5x padded FLOPs anyway).
 
 vs_baseline is honest chip speed-of-light: achieved / (N / t_model) with
 t_model = max(minimal_flops / chip_peak(dtype), minimal_bytes / chip_BW),
@@ -92,7 +99,9 @@ def _chip():
             bw, peak_bf16 = 1.2e12, 2.75e14
     else:
         bw, peak_bf16 = 5e10, 1e11
-    return on_tpu, bw, {"bfloat16": peak_bf16, "float32": peak_bf16 / 4.0}
+    peaks = {"bfloat16": peak_bf16, "float32": peak_bf16 / 4.0}
+    peaks["complex64"] = peaks["float32"]  # complex64 = f32 mul/adds on MXU
+    return on_tpu, bw, peaks
 
 
 def bench_unstructured(on_tpu, bw, peaks):
@@ -126,36 +135,45 @@ def bench_unstructured(on_tpu, bw, peaks):
     nnz = op_s.assemble_csr().nnz * (E / op_s.buckets[0].gidx.shape[0])
 
     rng = np.random.default_rng(0)
-    for dtype, B, iters in ((jnp.float32, 512 if on_tpu else 4,
-                             20 if on_tpu else 3),
-                            (jnp.complex128, 32 if on_tpu else 2,
-                             10 if on_tpu else 3)):
+    # rows: (tag, compute dtype, complex-as-real-pair?, n complex/real
+    # vectors, iters)
+    rows = [("float32", jnp.float32, False, 512 if on_tpu else 4,
+             20 if on_tpu else 3)]
+    if on_tpu:
+        rows.append(("complex64_realpair", jnp.float32, True, 64, 10))
+    else:
+        rows.append(("complex128", jnp.complex128, False, 2, 3))
+    for name, dtype, pair, B, iters in rows:
+      try:
         is_c = jnp.issubdtype(dtype, jnp.complexfloating)
         A = t["A"].astype(dtype)
-        U = rng.standard_normal((N, B))
+        ncol = 2 * B if pair else B  # real-pair: [Re | Im] column block
+        U = rng.standard_normal((N, ncol))
         if is_c:
-            U = U + 1j * rng.standard_normal((N, B))
+            U = U + 1j * rng.standard_normal((N, ncol))
         U = jnp.asarray(U.astype(dtype))
 
         def blocked_apply(u):
             ul = u[gidx]
             vl = jnp.einsum("enm,emb->enb", A, ul)
-            return jax.ops.segment_sum(vl.reshape(-1, B)[perm], seg,
+            return jax.ops.segment_sum(vl.reshape(-1, ncol)[perm], seg,
                                        num_segments=N,
                                        indices_are_sorted=True)
 
         dt = _measure(blocked_apply, U, iters) / B
         gdofs = N / dt / 1e9
-        item = jnp.dtype(dtype).itemsize
-        flops = (8.0 if is_c else 2.0) * nnz
-        tbl_bytes = nnz * (item + 4)
+        item = jnp.dtype(dtype).itemsize * (2 if pair else 1)
+        flops = (2.0 * (2 if pair else 4) if (is_c or pair) else 2.0) * nnz
+        tbl_bytes = nnz * (jnp.dtype(dtype).itemsize + 4)
         bytes_ = 2.0 * N * item + tbl_bytes / B
-        name = jnp.dtype(dtype).name
         t_model = bytes_ / bw
-        if name in peaks:
-            t_model = max(t_model, flops / peaks[name])
+        pname = jnp.dtype(dtype).name
+        if pname in peaks:
+            t_model = max(t_model, flops / peaks[pname])
         _emit(f"hcurl_p3_unstructured_apply_{name}_b{B}", gdofs,
               N / t_model / 1e9)
+      except Exception as exc:
+        print(f"unstructured {name} failed: {exc!r}", file=sys.stderr)
 
 
 def bench_structured(on_tpu, bw, peaks):
@@ -169,13 +187,14 @@ def bench_structured(on_tpu, bw, peaks):
                              20 if on_tpu else 3),
                             (jnp.bfloat16, 512 if on_tpu else 4,
                              20 if on_tpu else 3)):
+      try:
         sop = StructuredNDOperator.build_uniform(p, (n, n, n), 1.0 / n,
                                                  dtype=dtype)
         import jax
 
         key = jax.random.PRNGKey(0)
         lat = jax.random.normal(key, (B,) + sop.lat_gdof.shape, dtype)
-        dt = _measure(sop, lat, iters) / B
+        dt = _measure(sop.sliced_apply, lat, iters) / B
         N = sop.num_dofs
         gdofs = N / dt / 1e9
         C = sop.W.shape[0]
@@ -183,17 +202,27 @@ def bench_structured(on_tpu, bw, peaks):
         ncell = n ** 3
         item = jnp.dtype(dtype).itemsize
         flops = 2.0 * ncell * nd * nd  # element-matmul minimum, per vector
-        bytes_ = 2.0 * C * ncell * item + sop.W.size * item / B
+        bytes_ = 2.0 * C * ncell * item + sop._Af.size * item / B
         name = jnp.dtype(dtype).name
         t_model = max(bytes_ / bw, flops / peaks[name])
-        _emit(f"hcurl_p3_structured_stencil_apply_{name}_b{B}", gdofs,
+        _emit(f"hcurl_p3_structured_sliced_apply_{name}_b{B}", gdofs,
               N / t_model / 1e9)
+      except Exception as exc:
+        print(f"structured {jnp.dtype(dtype).name} failed: {exc!r}",
+              file=sys.stderr)
 
 
 def main():
     on_tpu, bw, peaks = _chip()
-    bench_unstructured(on_tpu, bw, peaks)
-    bench_structured(on_tpu, bw, peaks)
+    ok = 0
+    for fn in (bench_unstructured, bench_structured):
+        try:
+            fn(on_tpu, bw, peaks)
+            ok += 1
+        except Exception as exc:  # a failed path must not kill the bench
+            print(f"bench path {fn.__name__} failed: {exc!r}", file=sys.stderr)
+    if ok == 0:
+        sys.exit(1)
 
 
 if __name__ == "__main__":

@@ -126,7 +126,16 @@ class SpaceOperator:
 
             dbc = pec + list(iodata.boundaries.wave_port_pec)
             for wcfg in iodata.boundaries.wave_ports:
-                wp = WavePortData(iodata, mesh, wcfg, self.materials, dbc)
+                # Other wave ports' surfaces are Dirichlet for this port's
+                # mode problem: when two ports touch (e.g. the per-slot CPW
+                # half-cross-section ports), their shared edge must carry
+                # E_t = 0 (reference: waveportoperator.cpp:1083-1131
+                # port_dbc_bcs = PEC + AuxPEC + other ports' attributes).
+                other = [a for o in iodata.boundaries.wave_ports
+                         if o.index != wcfg.index for a in o.attributes
+                         if a not in wcfg.attributes]
+                wp = WavePortData(iodata, mesh, wcfg, self.materials,
+                                  dbc + other)
                 self.wave_ports[wcfg.index] = wp
                 self._wp_trace_bases[wcfg.index] = nd_trace_basis(
                     self.space, wp.trace)

@@ -92,6 +92,7 @@ class WavePortData:
         # -- plane frame (t1, t2, n), n oriented outward from the domain
         nodes_ids = np.unique(connfull.ravel())
         P3 = mesh.nodes[nodes_ids]
+        self._port_nodes3 = P3
         self.origin = P3.mean(axis=0)
         X = P3 - self.origin
         _, svals, VT = np.linalg.svd(X, full_matrices=False)
@@ -438,9 +439,32 @@ class WavePortData:
         U = U_re + 1j * U_im
         return np.einsum("fst,fqt->fqs", muinv, U) / omega
 
+    def _quadrant_mask(self):
+        """Indicator of the port's "upper-right quadrant" at the trace
+        quadrature points: x[da] >= c_a and x[db] >= c_b in the parent 3D
+        frame, where da/db are the two largest bbox extents of the port
+        (reference: waveportoperator.cpp:533-577 TDirection / port_S0t)."""
+        if hasattr(self, "_quad_mask"):
+            return self._quad_mask
+        P3 = self._port_nodes3
+        bbmin, bbmax = P3.min(axis=0), P3.max(axis=0)
+        ext = bbmax - bbmin
+        order = np.argsort(-ext, kind="stable")
+        da, db = int(order[0]), int(order[1])
+        ca = 0.5 * (bbmax[da] + bbmin[da])
+        cb = 0.5 * (bbmax[db] + bbmin[db])
+        xq = self.trace.xq  # (F, nq, 3)
+        self._quad_mask = ((xq[..., da] >= ca)
+                           & (xq[..., db] >= cb)).astype(float)
+        return self._quad_mask
+
     def _normalize(self, sol: ModeSolution, omega: float):
-        """Unit power: |∫ E . (-n x H*) dS| = 1, with a deterministic phase
-        (reference: waveportoperator.cpp:121-150 Normalize)."""
+        """Unit power |∫ E . (-n x H*) dS| = 1 with the reference's phase
+        convention: rotate so that ∫_quadrant sum_s (n x H)_s dS is
+        real-positive (the S0t polarization functional, reference:
+        waveportoperator.cpp:121-146 Normalize + 533-577 port_S0t; exact
+        parity replaces the ND interpolant of the quadrant indicator with
+        its pointwise quadrature evaluation)."""
         s_field = self.nxh_field(sol, omega)
         Et3, _, _ = self.mode_fields_at_trace(sol)
         tr = self.trace
@@ -448,13 +472,16 @@ class WavePortData:
         power = abs(dot)
         if power <= 0:
             raise RuntimeError("wave port mode has zero power")
-        scale = 1.0 / math.sqrt(power)
-        # Deterministic phase: rotate so the largest-magnitude et dof is
-        # real positive.
-        k = int(np.argmax(np.abs(sol.et)))
-        phase = np.exp(-1j * np.angle(sol.et[k]))
-        sol.et *= scale * phase
-        sol.en *= scale * phase
+        dot0 = np.einsum("fq,fqs->", tr.wdetJ * self._quadrant_mask(),
+                         s_field)
+        if abs(dot0) < 1e-12 * np.abs(s_field).max() * tr.wdetJ.sum():
+            # Degenerate polarization functional: fall back to the
+            # largest-dof phase (still deterministic).
+            k = int(np.argmax(np.abs(sol.et)))
+            dot0 = np.exp(1j * np.angle(sol.et[k]))
+        scale = abs(dot0) / (dot0 * math.sqrt(power))
+        sol.et *= scale
+        sol.en *= scale
         # VoltagePath polarity: flip the mode sign so the modal voltage
         # V_exc = ∫ E_mode · dl along the configured path is real-positive,
         # tying the polarity to a physical direction like a lumped port's
