@@ -412,20 +412,31 @@ def sweep_uniform_device(iodata, sop: SpaceOperator, omegas, excitations,
     production TPU path (reference: drivensolver.cpp:78-233 with the
     FGMRES+GMG solver of ksp.cpp:30-229; here all frequencies of the sweep
     are solved as one blocked Krylov system on the accelerator)."""
+    import jax
+
     from palace_tpu.linalg.device_ksp import BlockedDeviceSolver
     from palace_tpu.post import metadata
     from palace_tpu.utils import timers
 
     lin = iodata.solver.linear
-    solver = BlockedDeviceSolver(
-        sop.space, iodata.boundaries.pec, sop.driven_terms(omegas), omegas,
-        sop.ess_mask,
+    kw = dict(
         tol=lin.tol, max_its=lin.max_its,
         restart=(lin.max_size if lin.max_size > 0 else 30),
         smooth_order=(lin.mg_smooth_order if lin.mg_smooth_order > 0 else 4),
         smooth_its=lin.mg_smooth_its, use_aux=lin.mg_use_aux,
         coarsening=lin.mg_coarsening, max_levels=lin.mg_max_levels,
         log=lambda s: print_log(iodata, s))
+    args = (sop.space, iodata.boundaries.pec, sop.driven_terms(omegas),
+            omegas, sop.ess_mask)
+    if jax.device_count() > 1:
+        # Multi-chip: the dof-sharded complex FGMRES + p-MG over the
+        # ("cells",) device mesh (reference: rap.hpp:124 ComplexParOperator).
+        from palace_tpu.linalg.device_ksp_sharded import (
+            ShardedBlockedDeviceSolver)
+
+        solver = ShardedBlockedDeviceSolver(*args, **kw)
+    else:
+        solver = BlockedDeviceSolver(*args, **kw)
     ex_list = list(excitations)
     nfreq = len(omegas)
     sols: Dict[Tuple[int, int], np.ndarray] = {}
