@@ -212,10 +212,55 @@ def bench_structured(on_tpu, bw, peaks):
               file=sys.stderr)
 
 
+def bench_pallas(on_tpu, bw, peaks):
+    """Pallas block-copy kernel (ops/pallas_structured.py) on the same
+    structured operator: E-vector gather/scatter as contiguous VMEM block
+    copies + one minimal-FLOP (nd, nd) MXU matmul per batch column."""
+    import jax
+    import jax.numpy as jnp
+
+    from palace_tpu.ops.pallas_structured import (
+        _flat_tables, structured_apply_flat_v2, v2_tables)
+    from palace_tpu.ops.structured import StructuredNDOperator
+
+    if not on_tpu:
+        return  # interpret mode is correctness-only; timing is meaningless
+    n, p = 18, 3
+    for dtype, B, iters in ((jnp.bfloat16, 128, 20), (jnp.float32, 128, 20)):
+      try:
+        sop = StructuredNDOperator.build_uniform(p, (n, n, n), 1.0 / n,
+                                                 dtype=dtype)
+        Af_perm, _ = v2_tables(sop)
+        Af_perm = Af_perm.astype(dtype)
+        _, _, _, _, _, Lu, _ = _flat_tables(p, (n, n, n))
+        C = 3 * p ** 3
+        key = jax.random.PRNGKey(0)
+        u = jax.random.normal(key, (B, C, Lu), dtype)
+
+        def apply(x):
+            return structured_apply_flat_v2(Af_perm, x, p=p, shape=(n, n, n))
+
+        dt = _measure(apply, u, iters) / B
+        N = sop.num_dofs
+        gdofs = N / dt / 1e9
+        nd = Af_perm.shape[0]
+        ncell = n ** 3
+        item = jnp.dtype(dtype).itemsize
+        flops = 2.0 * ncell * nd * nd
+        bytes_ = 2.0 * C * Lu * item + Af_perm.size * item / B
+        name = jnp.dtype(dtype).name
+        t_model = max(bytes_ / bw, flops / peaks[name])
+        _emit(f"hcurl_p3_structured_pallas_apply_{name}_b{B}", gdofs,
+              N / t_model / 1e9)
+      except Exception as exc:
+        print(f"pallas {jnp.dtype(dtype).name} failed: {exc!r}",
+              file=sys.stderr)
+
+
 def main():
     on_tpu, bw, peaks = _chip()
     ok = 0
-    for fn in (bench_unstructured, bench_structured):
+    for fn in (bench_unstructured, bench_structured, bench_pallas):
         try:
             fn(on_tpu, bw, peaks)
             ok += 1
