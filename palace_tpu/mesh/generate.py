@@ -11,13 +11,70 @@ import numpy as np
 from palace_tpu.mesh.mesh import ElemBucket, Mesh
 
 
-def box_hex(nx=4, ny=4, nz=4, lx=1.0, ly=1.0, lz=1.0, sheet_j=None,
-            sheet_attr=7) -> Mesh:
-    """Box hex mesh; optional internal sheet of quads at y-layer `sheet_j`
-    (attr `sheet_attr`) for surface-current excitation tests."""
-    xs = np.linspace(0, lx, nx + 1)
-    ys = np.linspace(0, ly, ny + 1)
-    zs = np.linspace(0, lz, nz + 1)
+def uniform_segment(x0: float, x1: float, h: float) -> np.ndarray:
+    """Ascending points covering [x0, x1] with ~h spacing (>= 1 cell)."""
+    n = max(1, int(round((x1 - x0) / h)))
+    return np.linspace(x0, x1, n + 1)
+
+
+def _geometric_steps(length: float, h: float, ratio: float):
+    """Step sizes from a fine end: h, h*ratio, ... summing exactly to
+    `length` (remainder merged into the last step when small)."""
+    steps, s, acc = [], h, 0.0
+    while acc + s < length:
+        steps.append(s)
+        acc += s
+        s *= ratio
+    rem = length - acc
+    if steps and rem < 0.4 * steps[-1]:
+        steps[-1] += rem
+    else:
+        steps.append(rem)
+    return steps
+
+
+def graded_segment(x0: float, x1: float, h: float,
+                   ratio: float = 1.9) -> np.ndarray:
+    """Points on [x0, x1] with spacing ~h at BOTH ends, geometrically
+    growing toward the middle (for gaps between refined features)."""
+    L = x1 - x0
+    if L <= 1.5 * h:
+        return np.asarray([x0, x1])
+    half = np.concatenate([[0.0], np.cumsum(_geometric_steps(
+        0.5 * L, h, ratio))])
+    return np.concatenate([x0 + half, (x1 - half)[::-1][1:]])
+
+
+def graded_one_sided(x0: float, x1: float, h: float,
+                     ratio: float = 1.9) -> np.ndarray:
+    """Points on [x0, x1] with spacing ~h at the x1 end, geometrically
+    growing toward x0 (for far-field padding)."""
+    L = x1 - x0
+    if L <= 1.5 * h:
+        return np.asarray([x0, x1])
+    d = np.concatenate([[0.0], np.cumsum(_geometric_steps(L, h, ratio))])
+    return (x1 - d)[::-1]
+
+
+def stitch_segments(*segs) -> np.ndarray:
+    """Concatenate ascending segments that share endpoints into one axis."""
+    pts = [np.asarray(segs[0], float)]
+    for s in segs[1:]:
+        s = np.asarray(s, float)
+        assert abs(s[0] - pts[-1][-1]) < 1e-12 * max(1.0, abs(s[0]))
+        pts.append(s[1:])
+    return np.concatenate(pts)
+
+
+def box_hex_coords(xs, ys, zs, z_sheets=()) -> Mesh:
+    """Box hex mesh on explicit (graded) coordinate lines.  `z_sheets` is a
+    list of (k0, attr_fn) pairs: at grid plane z = zs[k0], each cell
+    footprint (i, j) gets an internal sheet quad with attribute
+    attr_fn(xc, yc) (0 = no sheet) — used for embedded PEC ribbons /
+    surface-current terminals (e.g. the rings-style inductance geometries).
+    """
+    xs, ys, zs = (np.asarray(a, float) for a in (xs, ys, zs))
+    nx, ny, nz = len(xs) - 1, len(ys) - 1, len(zs) - 1
     X, Y, Z = np.meshgrid(xs, ys, zs, indexing="ij")
     nodes = np.stack([X.ravel(), Y.ravel(), Z.ravel()], -1)
 
@@ -60,17 +117,51 @@ def box_hex(nx=4, ny=4, nz=4, lx=1.0, ly=1.0, lz=1.0, sheet_j=None,
                        nid(i + 1, j + 1, 0), nid(i, j + 1, 0)]); battr.append(5)
             bq.append([nid(i, j, nz), nid(i + 1, j, nz),
                        nid(i + 1, j + 1, nz), nid(i, j + 1, nz)]); battr.append(6)
-    if sheet_j is not None:
+    for (k0, attr_fn) in z_sheets:
         for i in range(nx):
-            for k in range(nz):
-                bq.append([nid(i, sheet_j, k), nid(i + 1, sheet_j, k),
-                           nid(i + 1, sheet_j, k + 1), nid(i, sheet_j, k + 1)])
-                battr.append(sheet_attr)
+            for j in range(ny):
+                a = int(attr_fn(0.5 * (xs[i] + xs[i + 1]),
+                                0.5 * (ys[j] + ys[j + 1])))
+                if a:
+                    bq.append([nid(i, j, k0), nid(i + 1, j, k0),
+                               nid(i + 1, j + 1, k0), nid(i, j + 1, k0)])
+                    battr.append(a)
     from palace_tpu.fem.reference import Geom
 
     bdr = [ElemBucket(3, Geom.QUAD, 1, np.array(bq, np.int32),
                       np.array(battr, np.int32))]
     return Mesh(nodes, buckets, bdr)
+
+
+def box_hex(nx=4, ny=4, nz=4, lx=1.0, ly=1.0, lz=1.0, sheet_j=None,
+            sheet_attr=7) -> Mesh:
+    """Box hex mesh; optional internal sheet of quads at y-layer `sheet_j`
+    (attr `sheet_attr`) for surface-current excitation tests."""
+    xs = np.linspace(0, lx, nx + 1)
+    ys = np.linspace(0, ly, ny + 1)
+    zs = np.linspace(0, lz, nz + 1)
+    mesh = box_hex_coords(xs, ys, zs)
+    if sheet_j is not None:
+        ny_, nz_ = ny, nz
+
+        def nid(i, j, k):
+            return (i * (ny_ + 1) + j) * (nz_ + 1) + k
+
+        bq, battr = [], []
+        for i in range(nx):
+            for k in range(nz):
+                bq.append([nid(i, sheet_j, k), nid(i + 1, sheet_j, k),
+                           nid(i + 1, sheet_j, k + 1),
+                           nid(i, sheet_j, k + 1)])
+                battr.append(sheet_attr)
+        b = mesh.bdr_buckets[0]
+        from palace_tpu.fem.reference import Geom
+
+        mesh = Mesh(mesh.nodes, mesh.buckets, [ElemBucket(
+            3, Geom.QUAD, 1,
+            np.concatenate([b.conn, np.array(bq, np.int32)]),
+            np.concatenate([b.attr, np.array(battr, np.int32)]))])
+    return mesh
 
 
 _KUHN_TETS = [
@@ -84,6 +175,16 @@ def box_tet(nx=4, ny=4, nz=4, lx=1.0, ly=1.0, lz=1.0, sheet_j=None,
     """Box split into 6 tets per hex (Kuhn triangulation: conforming on a
     structured grid because every hex uses the same diagonal direction)."""
     hexm = box_hex(nx, ny, nz, lx, ly, lz, sheet_j=sheet_j, sheet_attr=sheet_attr)
+    return tetrahedralize(hexm)
+
+
+def box_tet_coords(xs, ys, zs, z_sheets=()) -> Mesh:
+    """Kuhn-split tet mesh on explicit coordinate lines with optional
+    embedded z-plane sheets (see box_hex_coords)."""
+    return tetrahedralize(box_hex_coords(xs, ys, zs, z_sheets))
+
+
+def tetrahedralize(hexm: Mesh) -> Mesh:
     hconn = hexm.buckets[0].conn
     tconn = np.concatenate([hconn[:, list(t)] for t in _KUHN_TETS], axis=0)
     from palace_tpu.fem.reference import Geom
