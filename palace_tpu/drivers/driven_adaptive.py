@@ -158,11 +158,6 @@ def sweep_adaptive(iodata, sop: SpaceOperator, omegas, excitations,
                    ) -> Dict[Tuple[int, int], np.ndarray]:
     from palace_tpu.linalg.ordering import dof_coordinates, splu_nd
 
-    if sop._conductivity or sop._abc2_tb is not None:
-        raise NotImplementedError(
-            "adaptive PROM with conductivity / second-order-absorbing "
-            "boundaries (non-factorable A2) is not supported; use a uniform "
-            "sweep (reference slow path: romoperator.hpp:186-189)")
     cfg = iodata.solver.driven
     tol = cfg.adaptive_tol
     max_size = max(cfg.adaptive_max_size, 4)
@@ -191,11 +186,36 @@ def sweep_adaptive(iodata, sop: SpaceOperator, omegas, excitations,
     free = sp.diags(free_mask.astype(float))
     Mwp = {idx: (free @ Mp @ free).tocsr() for idx, Mp in Mwp.items()}
 
+    # Non-factorable A2(omega) terms (finite-conductivity skin depth ~
+    # sqrt(omega), 2nd-order ABC ~ 1/omega): the ROM cannot pre-reduce them,
+    # so re-assemble and re-project at every evaluation frequency — the
+    # reference's slow path (romoperator.hpp:186-189 "not all terms are
+    # frequency-independent", romoperator.cpp assemble per omega).
+    has_slow_a2 = bool(sop._conductivity) or sop._abc2_tb is not None
+    _a2_cache: Dict[float, object] = {}
+
+    def a2_extra(omega):
+        if not has_slow_a2:
+            return None
+        key = float(omega)
+        if key not in _a2_cache:
+            A = None
+            for f in (sop.conductivity_a2_csr, sop.abc2_a2_csr):
+                X = f(omega)
+                if X is not None:
+                    A = X if A is None else A + X
+            _a2_cache[key] = (free @ A @ free).tocsr() if A is not None \
+                else None
+        return _a2_cache[key]
+
     def assemble(omega):
         # PEC-eliminated wave-port term (system_csr applies DIAG_ONE).
         A = sop.system_csr(omega, K, C, M)
         for idx, Mp in Mwp.items():
             A = (A + 1j * kn(idx, omega) * Mp).tocsr()
+        X = a2_extra(omega)
+        if X is not None:
+            A = (A + X).tocsr()
         return A
 
     def rhs(ex, omega):
@@ -250,6 +270,9 @@ def sweep_adaptive(iodata, sop: SpaceOperator, omegas, excitations,
             Ar = Ar + 1j * om * Cr
         for idx, W in Wr.items():
             Ar = Ar + 1j * kn(idx, om) * W
+        X = a2_extra(om)
+        if X is not None:
+            Ar = Ar + Vm.conj().T @ (X @ Vm)  # slow path: project per omega
         br = 1j * om * b1r[ex]
         if wave_ports:
             br = br + Vm.conj().T @ sop.waveport_rhs2(ex, om)

@@ -117,6 +117,46 @@ def test_driven_adaptive_matches_uniform(tmp_path):
                                                     abs=1e-9)
 
 
+def test_driven_adaptive_slow_a2_matches_uniform(tmp_path):
+    """PROM slow path (reference: romoperator.hpp:186-189): finite
+    conductivity (surface impedance ~ sqrt(omega)) and 2nd-order absorbing
+    (~ 1/omega) make A2(omega) non-factorable, so the ROM re-projects the
+    extra term at every evaluation frequency.  The adaptive sweep must
+    still match the uniform direct sweep."""
+    import json as _json
+
+    from palace_tpu.api import run
+
+    samples = {"Samples": [{"Type": "Linear", "MinFreq": 10.0,
+                            "MaxFreq": 30.0, "NSample": 7}]}
+
+    def case(tag, solver_extra):
+        path = make_case(str(tmp_path), {"Type": "Driven"}, {
+            "Driven": dict(samples, **solver_extra),
+            "Linear": {"Tol": 1e-10, "MaxIts": 300}})
+        cfg = _json.load(open(path))
+        # Plates: finite conductivity (copper-ish); port 2 face -> 2nd-order
+        # absorbing termination.  Both slow-path A2 terms active.
+        b = cfg["Boundaries"]
+        b["PEC"] = {"Attributes": []}
+        b["Conductivity"] = [
+            {"Attributes": [5, 6], "Conductivity": 5.8e7}]
+        b["LumpedPort"] = [b["LumpedPort"][0]]
+        b["Absorbing"] = {"Attributes": [2], "Order": 2}
+        p2 = os.path.join(str(tmp_path), f"case_{tag}.json")
+        _json.dump(cfg, open(p2, "w"))
+        return p2
+
+    res_u = run(case("u", {}), output_dir=str(tmp_path / "sout_u"))
+    res_a = run(case("a", {"AdaptiveTol": 1e-9}),
+                output_dir=str(tmp_path / "sout_a"))
+    for key in res_u["measurements"]:
+        mu, ma = res_u["measurements"][key], res_a["measurements"][key]
+        for idx in mu.ports:
+            assert ma.ports[idx].S == pytest.approx(mu.ports[idx].S,
+                                                    abs=5e-6)
+
+
 def test_surface_postprocessing(tmp_path):
     """Power flux through the output port plane ~ transmitted power ~ 1 W
     (unit-incident-power normalization); interface dielectric Q = 1/(p tan d)."""
