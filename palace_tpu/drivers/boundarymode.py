@@ -97,6 +97,40 @@ class BoundaryModeProblem:
             # H1 line mass from parent-element basis at the trace points.
             Mn = self._h1_line_mass(tr)
             self._imp_terms.append((Rs, Ls, Cs, Mt, Mn))
+
+        # First-order absorbing (farfield) rim edges: i w invZ line masses
+        # with invZ = sqrt(mu^-1 eps)(0,0) of the adjacent element's
+        # material — the reference adds these to BOTH blocks of the mode
+        # pencil (modeeigensolver.cpp AssembleAtt
+        # farfield_op.AddDampingBdrCoefficients(omega, fbi) and AssembleAnn
+        # nn_fbi.AddMaterialProperty(ceed_attrs, inv_z0, -omega)); without
+        # them the open-rim mode problem is lossless-PMC-terminated and kn
+        # converges to a different continuum value (measured 2.6e-3 high on
+        # the cpw wave_2dmode port).
+        self._ff_terms = []
+        ab = iodata.boundaries.absorbing
+        if ab is not None and ab.attributes:
+            q = default_qorder(order, 1, mesh.bdr_buckets[0].geom)
+            tr = boundary_trace(mesh, ab.attributes, q)
+            if len(tr.elem):
+                invz_by_attr = {}
+                for a, eps in epsc.items():
+                    t = muinv[a] @ np.real(eps)
+                    w, V = np.linalg.eig(t)
+                    s = (V * np.sqrt(np.maximum(w.real, 0.0))) @ \
+                        np.linalg.inv(V)
+                    invz_by_attr[a] = float(np.real(s[0, 0]))
+                coef = np.empty(len(tr.elem))
+                for bi, b in enumerate(mesh.buckets):
+                    s = tr.bucket == bi
+                    coef[s] = [invz_by_attr[int(a)]
+                               for a in b.attr[tr.elem[s]]]
+                tb = nd_trace_basis(self.nd, tr)
+                bk = boundary_mass_bucket(tb, coef)
+                Mt = self._bucket_csr(np.asarray(bk.gidx),
+                                      np.asarray(bk.A), self.nd.num_dofs)
+                Mn = self._h1_line_mass(tr, weight=coef)
+                self._ff_terms.append((Mt, Mn))
         mu_eps_max = 0.0
         for a in epsc:
             mu3 = np.linalg.inv(muinv[a])
@@ -113,7 +147,7 @@ class BoundaryModeProblem:
         return sp.coo_matrix((A.reshape(E, -1).ravel(), (rows, cols)),
                              shape=(n, n)).tocsr()
 
-    def _h1_line_mass(self, tr) -> sp.csr_matrix:
+    def _h1_line_mass(self, tr, weight=None) -> sp.csr_matrix:
         mesh = self.mesh
         rows, cols, vals = [], [], []
         for bi, b in enumerate(mesh.buckets):
@@ -123,7 +157,10 @@ class BoundaryModeProblem:
             nq = tr.wdetJ.shape[1]
             xis = tr.xi[sel].reshape(-1, tr.xi.shape[-1])
             B = self.h1.basis(b.geom).eval(xis).reshape(len(sel), nq, -1)
-            A = np.einsum("eq,eqn,eqm->enm", tr.wdetJ[sel], B, B)
+            wd = tr.wdetJ[sel]
+            if weight is not None:
+                wd = wd * np.asarray(weight)[sel][:, None]
+            A = np.einsum("eq,eqn,eqm->enm", wd, B, B)
             g = self.h1.elem_dofs[bi][tr.elem[sel]]
             E, nd = g.shape
             rows.append(np.repeat(g, nd, axis=1).ravel())
@@ -179,6 +216,11 @@ class BoundaryModeProblem:
                 coef -= omega * omega * Cs
             Att = (Att + coef * Mt).tocsr()
             Ann = (Ann - coef * Mn).tocsr()
+        for (Mt, Mn) in self._ff_terms:
+            # 1st-order ABC rim: +i w invZ on the tangential block, -i w
+            # invZ on the normal block (reference sign pattern above).
+            Att = (Att + 1j * omega * Mt).tocsr()
+            Ann = (Ann - 1j * omega * Mn).tocsr()
         Atn = (-self._Atn).tocsr().astype(complex)
         Btn = self._Atn.T.tocsr().astype(complex)
         nnd, nh1 = self.nd.num_dofs, self.h1.num_dofs
@@ -404,9 +446,24 @@ def solve(iodata: IoData, output_dir: str | None = None):
     cfg = iodata.solver.boundary_mode
     sub_frame = None
     if cfg.attributes and mesh.nodes.shape[1] == 3:
+        surf = {int(a) for a in cfg.attributes}
+        pec = set(int(a) for a in iodata.boundaries.pec)
+        # Other wave ports on the same cross-section act as conducting
+        # boundaries for this mode solve: relabel their rim edges to PEC
+        # (reference: boundarymodesolver.cpp:126-166 other_waveport_attrs
+        # relabel to min PEC attribute).
+        other_wp = {int(a) for wp in iodata.boundaries.wave_ports
+                    for a in wp.attributes} - surf
         mesh, sub_frame = _extract_boundary_submesh(
-            mesh, [int(a) for a in cfg.attributes],
-            pec_attrs=set(int(a) for a in iodata.boundaries.pec))
+            mesh, sorted(surf), pec_attrs=pec | other_wp)
+        if other_wp and pec:
+            pec_attr = min(pec)
+            bb = mesh.bdr_buckets[0]
+            sel = np.isin(bb.attr, sorted(other_wp))
+            if sel.any():
+                bb.attr[sel] = pec_attr
+                print_log(iodata, f"relabelled {int(sel.sum())} "
+                                  "other-waveport rim edge(s) as PEC")
         print_log(iodata, f"boundary-mode submesh: {mesh.num_elements} "
                           "facets")
 

@@ -51,12 +51,24 @@ def prepare_mesh(iodata: IoData) -> Mesh:
                     or not iodata.model.refine_crack_elements):
                 break
             # Interior seam edges (both endpoints on the crack rim) cannot
-            # be decoupled by vertex duplication; bisect the element ring
-            # around each and re-crack (reference: geodata.cpp:2905-3010
-            # refine_crack_elements retry loop / LocalEdgeSplit).
+            # be decoupled by vertex duplication; locally refine and
+            # re-crack (reference: geodata.cpp:2905-3010 retry loop).
+            # Non-periodic tet meshes use MFEM-parity marked-edge bisection
+            # (hacked-length marking + conforming closure) so the refined
+            # mesh matches the reference's; periodic/non-tet meshes use the
+            # edge-fan LocalEdgeSplit path, as the reference does.
+            from palace_tpu.mesh.mfem_refine import (is_pure_tet,
+                                                     seam_bisection_refine)
+
+            periodic = bool(iodata.boundaries.periodic)
             try:
                 ne = mesh.num_elements
-                mesh = local_edge_split(mesh, info.interior_seam_edges)
+                if is_pure_tet(mesh) and not periodic:
+                    mesh = seam_bisection_refine(
+                        mesh, info.interior_seam_edges,
+                        info.seam_refine_elems, first_pass=(n_its == 0))
+                else:
+                    mesh = local_edge_split(mesh, info.interior_seam_edges)
                 n_split += mesh.num_elements - ne
                 n_its += 1
             except NotImplementedError:

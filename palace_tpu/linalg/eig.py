@@ -142,7 +142,28 @@ def quadratic_eigs(
     Mr = M[keep][:, keep].tocsc().astype(complex)
     m = Kr.shape[0]
 
-    P = (Kr + sigma * Cr + sigma * sigma * Mr).tocsc()
+    # SLEPc-style pencil balancing (reference: slepc.cpp:884-896): solve for
+    # lam~ = lam / gamma on the scaled pencil delta*(K + gamma lam~ C +
+    # gamma^2 lam~^2 M) with gamma = sqrt(|K|/|M|), delta = 2/(|K| +
+    # gamma |C|).  Without this the companion's identity blocks are O(1)
+    # against O(|K|) matrix blocks and the shift-inverted operator is
+    # artificially non-normal — the near-PEC impedance pencil (|C| huge)
+    # then starves Arnoldi convergence.
+    normK = spla.norm(Kr, np.inf)
+    normC = spla.norm(Cr, np.inf) if Cr.nnz else 0.0
+    normM = spla.norm(Mr, np.inf)
+    if normK > 0.0 and normM > 0.0:
+        gamma = float(np.sqrt(normK / normM))
+        delta = 2.0 / (normK + gamma * normC)
+    else:
+        gamma, delta = 1.0, 1.0
+    Ks = (delta * Kr).tocsc()
+    Cs = (delta * gamma * Cr).tocsc()
+    Ms = (delta * gamma * gamma * Mr).tocsc()
+    sigma_full = sigma
+    sigma = sigma / gamma
+
+    P = (Ks + sigma * Cs + sigma * sigma * Ms).tocsc()
     lu = spla.splu(P)
 
     project = None
@@ -179,7 +200,7 @@ def quadratic_eigs(
         #   => P(sigma) u = -(M g) - (C + sigma M) f
         f = z[:m]
         g = z[m:]
-        rhs = -(Mr @ g) - (Cr @ f) - sigma * (Mr @ f)
+        rhs = -(Ms @ g) - (Cs @ f) - sigma * (Ms @ f)
         u = lu.solve(rhs)
         if project is not None:
             u = project(u)
@@ -197,7 +218,8 @@ def quadratic_eigs(
     default_it = max(300, 10 * nev) if tol >= 1e-6 else max(1000, 40 * nev)
     mu, zvecs = _eigs_partial_ok(op, nev, "LM", tol,
                                  max_it or default_it)
-    vals = sigma + 1.0 / mu
+    vals = gamma * (sigma + 1.0 / mu)  # un-scale lam = gamma * lam~
+    sigma = sigma_full
     vecs = zvecs[:m]
     order = np.argsort(np.abs(vals - sigma))
     vals, vecs = vals[order], vecs[:, order]

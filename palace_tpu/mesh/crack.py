@@ -58,6 +58,10 @@ class CrackInfo:
     interior_seam_edges: List[Tuple[int, int]] = field(default_factory=list)
     # Duplicated node id -> original node id (coincident coordinates).
     dup_to_orig: Dict[int, int] = field(default_factory=dict)
+    # Owner (global) element ids of the crack facets adjacent to interior
+    # seam edges — the reference's elem_to_refine set (geodata.cpp:3067-
+    # 3082: both face-neighbors of every seam-adjacent boundary element).
+    seam_refine_elems: List[int] = field(default_factory=list)
 
 
 def _facet_defs(geom) -> List[Tuple[int, ...]]:
@@ -175,12 +179,14 @@ def crack_internal_boundaries(mesh: Mesh, crack_attrs: Sequence[int]
 
     # --- interior seam edges (reference would locally bisect; we report)
     edge_count: Dict[Tuple[int, int], int] = {}
+    edge_facets: Dict[Tuple[int, int], List[Tuple[int, ...]]] = {}
     for b in mesh.bdr_buckets:
         if ref.GEOM_DIM[b.geom] != codim_geom_dim:
             continue
         edges = ref.GEOM_EDGES[b.geom] if codim_geom_dim == 2 else [(0, 1)]
         for e in range(b.num_elem):
-            if _facet_key(b.corners[e]) not in crack_keys:
+            fkey = _facet_key(b.corners[e])
+            if fkey not in crack_keys:
                 continue
             cs = b.corners[e]
             for (i, j) in edges:
@@ -188,9 +194,15 @@ def crack_internal_boundaries(mesh: Mesh, crack_attrs: Sequence[int]
                 if v0 in seam_nodes and v1 in seam_nodes:
                     k = (min(v0, v1), max(v0, v1))
                     edge_count[k] = edge_count.get(k, 0) + 1
+                    edge_facets.setdefault(k, []).append(fkey)
     info.interior_seam_edges = sorted(
         k for k, c in edge_count.items() if c > 1)
     info.n_interior_seam_edges = len(info.interior_seam_edges)
+    refine: Set[int] = set()
+    for k in info.interior_seam_edges:
+        for fkey in edge_facets[k]:
+            refine.update(facet_owners.get(fkey, ()))
+    info.seam_refine_elems = sorted(refine)
 
     # --- apply renumbering to domain conns
     new_buckets = []
