@@ -325,6 +325,8 @@ def solve(iodata: IoData, output_dir: str | None = None):
     _write_domain_energy(iodata, sop, post_dir, omega, modes, Kcsr, Mcsr)
     if sop.ports:
         _write_port_tables(iodata, sop, post_dir, omega, modes)
+    if iodata.boundaries.surface_fluxes or iodata.boundaries.dielectrics:
+        _write_surface_tables(iodata, sop, post_dir, omega, modes)
 
     # ParaView mode-field output.
     if iodata.problem.output_formats.paraview and cfg.n_post > 0 and modes:
@@ -401,6 +403,81 @@ def _write_domain_energy(iodata, sop, post_dir, omega, modes, Kcsr, Mcsr):
             td.col(f"pm{ecfg.index}").data.append(
                 EmA / Em if Em > 0 else (1.0 if is_2d else 0.0))
     td.write(os.path.join(post_dir, "domain-E.csv"))
+
+
+def _write_surface_tables(iodata, sop, post_dir, omega, modes):
+    """surface-F.csv / surface-Q.csv per eigenmode (reference:
+    postoperatorcsv.cpp PrintSurfaceF/PrintSurfaceQ with the "m" index
+    column in the eigenmode branch; measurements via postoperator.cpp
+    MeasureSurfaceFlux / MeasureInterfaceEFieldEnergy)."""
+    from palace_tpu.drivers.driven import build_surface_traces
+    from palace_tpu.post.surfaces import interface_energy, surface_flux
+
+    units = iodata.units
+    traces = build_surface_traces(iodata, sop)
+    fluxes = iodata.boundaries.surface_fluxes
+    diels = iodata.boundaries.dielectrics
+
+    if fluxes:
+        Qc = units.scale_factor(ValueType.CAPACITANCE) * units.scale_factor(
+            ValueType.VOLTAGE)
+        Wb = units.scale_factor(ValueType.INDUCTANCE) * units.scale_factor(
+            ValueType.CURRENT)
+        W = units.scale_factor(ValueType.POWER)
+        t = Table()
+        t.add(index_column("m"))
+        for fcfg in fluxes:
+            i = fcfg.index
+            if fcfg.type == "Electric":
+                t.add(Column(f"fr{i}", f"Re{{Φ_elec[{i}]}} (C)"))
+                t.add(Column(f"fi{i}", f"Im{{Φ_elec[{i}]}} (C)"))
+            elif fcfg.type == "Magnetic":
+                t.add(Column(f"fr{i}", f"Re{{Φ_mag[{i}]}} (Wb)"))
+                t.add(Column(f"fi{i}", f"Im{{Φ_mag[{i}]}} (Wb)"))
+            else:
+                t.add(Column(f"fr{i}", f"Φ_pow[{i}] (W)"))
+        for i in range(len(omega)):
+            t.col("i").data.append(float(i + 1))
+            om = abs(float(np.real(omega[i])))
+            for fcfg in fluxes:
+                v = surface_flux(sop, fcfg, traces["flux"][fcfg.index],
+                                 modes[i], omega=om)
+                scale = {"Electric": Qc, "Magnetic": Wb, "Power": W}[fcfg.type]
+                t.col(f"fr{fcfg.index}").data.append(v.real * scale)
+                if fcfg.type != "Power":
+                    t.col(f"fi{fcfg.index}").data.append(v.imag * scale)
+        t.write(os.path.join(post_dir, "surface-F.csv"))
+
+    if diels:
+        t = Table()
+        t.add(index_column("m"))
+        for d in diels:
+            t.add(Column(f"p{d.index}", f"p_surf[{d.index}]"))
+            t.add(Column(f"q{d.index}", f"Q_surf[{d.index}]"))
+        for i in range(len(omega)):
+            x = modes[i]
+            Ee = 0.5 * _quad(sop.M_re, x)
+            E_cap = 0.0
+            for idx, port in sop.ports.items():
+                if abs(port.C) > 0:
+                    s, v = sop.port_functionals(idx)
+                    V = complex(np.dot(v, x))
+                    E_cap += 0.5 * abs(port.C) * float(np.real(V * np.conj(V)))
+            denom = Ee + E_cap
+            t.col("i").data.append(float(i + 1))
+            for d in diels:
+                class _D:
+                    type = d.type
+                    thickness = d.thickness / units.mesh_length_scale
+                    permittivity = d.permittivity
+
+                en = interface_energy(sop, _D, traces["eps"][d.index], x)
+                p = en / denom if denom > 0 else 0.0
+                Q = (np.inf if (p == 0.0 or d.loss_tan == 0.0)
+                     else 1.0 / (d.loss_tan * p))
+                t.col(f"p{d.index}").data.append(p)
+                t.col(f"q{d.index}").data.append(Q if np.isfinite(Q) else 0.0)
+        t.write(os.path.join(post_dir, "surface-Q.csv"))
 
 
 def _write_port_tables(iodata, sop, post_dir, omega, modes):
