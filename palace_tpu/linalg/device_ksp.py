@@ -206,6 +206,7 @@ class BlockedDeviceSolver:
                  smooth_order: int = 4, smooth_its: int = 1,
                  use_aux: bool = True, coarsening: str = "Logarithmic",
                  max_levels: int = 100, max_block: int = 8,
+                 structured: bool = True,
                  log: Optional[Callable] = None):
         from palace_tpu.fem.h1 import H1Space
         from palace_tpu.fem.nd import NDSpace
@@ -242,6 +243,31 @@ class BlockedDeviceSolver:
             ess_masks.append(ess)
             csrs.append([(P.T @ X @ P).tocsr() for X in csrs[li - 1]])
 
+        # Structured fast path: on a uniform box hex mesh every term is a
+        # stencil and the whole fine level runs in lattice order with NO
+        # gathers (ops/structured.py StructuredTermApply).  All fine-level
+        # tables (diags, free mask, G, and P's fine rows) are permuted once
+        # here; n-ordered vectors convert only at the public solve()/
+        # apply_fine() boundary.
+        self._fine_perm = None
+        st_apply = None
+        try:
+            from palace_tpu.ops.structured import StructuredTermApply
+
+            if not structured:
+                raise ValueError("structured path disabled")
+            st_apply = StructuredTermApply.build(space, terms,
+                                                 np.asarray(ess_mask))
+            if len(spaces) == 1:
+                # Coarse LU shares the fine level; keep dof order there.
+                raise ValueError("structured: needs >= 2 MG levels")
+            self._fine_perm = np.asarray(st_apply.perm)
+            self.log("  device ksp: structured (stencil-conv) fine level "
+                     f"engaged ({len(self._fine_perm)} lattice dofs)")
+        except (ValueError, AssertionError):
+            st_apply = None
+            self._fine_perm = None
+
         # Device level data.  Large tables are jax Arrays captured by the
         # jitted solve as stable closure constants (compiled once).
         self._levels = []
@@ -249,14 +275,25 @@ class BlockedDeviceSolver:
         for li, sp_l in enumerate(spaces):
             nl = sp_l.num_dofs
             ess = ess_masks[li]
-            lvl = {
-                "n": nl,
-                "apply": (ElemTermOperator(terms, nl) if li == 0
-                          else EllTermOperator(csrs[li])),
-                "diags": jnp.asarray(np.stack([X.diagonal()
-                                               for X in csrs[li]])),
-                "free": jnp.asarray((~ess).astype(np.float64)),
-            }
+            if li == 0 and st_apply is not None:
+                perm = self._fine_perm
+                lvl = {
+                    "n": len(perm),
+                    "apply": st_apply,
+                    "diags": jnp.asarray(np.stack(
+                        [X.diagonal()[perm] for X in csrs[li]])),
+                    "free": jnp.asarray(
+                        (~ess)[perm].astype(np.float64)),
+                }
+            else:
+                lvl = {
+                    "n": nl,
+                    "apply": (ElemTermOperator(terms, nl) if li == 0
+                              else EllTermOperator(csrs[li])),
+                    "diags": jnp.asarray(np.stack([X.diagonal()
+                                                   for X in csrs[li]])),
+                    "free": jnp.asarray((~ess).astype(np.float64)),
+                }
             if use_aux:
                 h1 = H1Space(mesh, sp_l.order)
                 G = nd_h1_gradient(sp_l, h1)
@@ -271,13 +308,18 @@ class BlockedDeviceSolver:
                 lvl["aux_diags"] = jnp.asarray(np.stack([X.diagonal()
                                                          for X in aux]))
                 lvl["aux_free"] = jnp.asarray((~essg).astype(np.float64))
+                if li == 0 and st_apply is not None:
+                    Gf = Gf[self._fine_perm].tocsr()
                 lvl["G"] = _csr_to_ell(Gf)
-                lvl["Gt"] = _csr_to_ell(Gf.T)
+                lvl["Gt"] = _csr_to_ell(Gf.T.tocsr())
             else:
                 aux_csrs_all.append(None)
             if li > 0:
-                lvl["P"] = _csr_to_ell(Ps[li])
-                lvl["Pt"] = _csr_to_ell(Ps[li].T)
+                P_li = Ps[li]
+                if li == 1 and st_apply is not None:
+                    P_li = P_li[self._fine_perm].tocsr()
+                lvl["P"] = _csr_to_ell(P_li)
+                lvl["Pt"] = _csr_to_ell(P_li.T.tocsr())
             self._levels.append(lvl)
 
         # Frequency tables: coefficients and lambda_max estimates.
@@ -461,6 +503,13 @@ class BlockedDeviceSolver:
         free = fine["free"][:, None]
         c = jnp.asarray(np.tile(np.asarray(coef_vec, complex)[:, None],
                                 (1, X.shape[1])))
+        X = np.asarray(X)
+        if self._fine_perm is not None:
+            y_l = free * fine["apply"](c, free * jnp.asarray(
+                X[self._fine_perm]))
+            y = np.zeros(X.shape, np.asarray(y_l).dtype)
+            y[self._fine_perm] = np.asarray(y_l)
+            return jnp.asarray(y)
         return free * fine["apply"](c, free * jnp.asarray(X))
 
     def solve(self, rhs: np.ndarray, omega_idx: Optional[np.ndarray] = None
@@ -470,6 +519,15 @@ class BlockedDeviceSolver:
         per sweep frequency).  Returns (X, info)."""
         if self._solve_fn is None:
             self._solve_fn = self._build_solve()
+        n, F = rhs.shape
+        if self._fine_perm is not None:
+            X_l, info = self._solve_lattice(rhs[self._fine_perm], omega_idx)
+            X = np.zeros((n, F), X_l.dtype)
+            X[self._fine_perm] = X_l
+            return X, info
+        return self._solve_lattice(rhs, omega_idx)
+
+    def _solve_lattice(self, rhs, omega_idx):
         n, F = rhs.shape
         omega_idx = (np.arange(F) if omega_idx is None
                      else np.asarray(omega_idx, int))

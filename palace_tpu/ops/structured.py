@@ -238,6 +238,73 @@ class StructuredNDOperator:
                              tuple(map(tuple, deltas)), tuple(chan))
 
 
+class StructuredTermApply:
+    """Fine-level term apply for `BlockedDeviceSolver` on a uniform box hex
+    mesh: every term's element table collapses to a (C, C, 3, 3, 3) stencil
+    and the apply y = sum_t coefs[t] * X_t u is one convolution per term —
+    no gather/scatter at all when the solver keeps its fine-level vectors in
+    lattice order (the `perm` attribute; see device_ksp.py wiring).
+
+    Replaces the gather-bound `ElemTermOperator` (~10 ns/row dynamic-slice
+    floor, PERF_NOTES.md) with an MXU-bound stencil (reference analogue:
+    the libCEED tensor-product fast path, palace/fem/libceed/operator.cpp:
+    148-214, which similarly specializes the apply by element geometry).
+    """
+
+    def __init__(self, Ws, ess_lat, perm, shape):
+        self.Ws = Ws  # per-term (C, C, 3, 3, 3)
+        self.ess_lat = ess_lat  # (C, nx, ny, nz) bool
+        self.perm = perm  # (L,) lattice-order dof ids (L = C nx ny nz)
+        self.shape = shape
+
+    @staticmethod
+    def build(space, terms, ess_mask) -> "StructuredTermApply":
+        """Raises ValueError/AssertionError unless every term is a single
+        uniform domain element table on a single-hex-bucket box grid (the
+        checks live in StructuredNDOperator.build)."""
+        from types import SimpleNamespace
+
+        if len(space.mesh.buckets) != 1:
+            raise ValueError("structured: single-bucket mesh required")
+        gd = np.asarray(space.elem_dofs[0])
+        ops = []
+        for t in terms:
+            if len(t.tables) != 1:
+                raise ValueError(f"term {t.name}: needs one domain table")
+            gidx, A = t.tables[0]
+            if np.asarray(gidx).shape != gd.shape or \
+                    not np.array_equal(np.asarray(gidx), gd):
+                raise ValueError(f"term {t.name}: not the domain table")
+            fake = SimpleNamespace(buckets=[SimpleNamespace(
+                A=np.real(np.asarray(A)), signs=None)])
+            # Full-precision stencil; __call__ casts to the input dtype.
+            ops.append(StructuredNDOperator.build(space, fake, ess_mask,
+                                                  dtype=jnp.float64))
+        st0 = ops[0]
+        return StructuredTermApply(
+            [op.W for op in ops], st0.ess_lat,
+            st0.lat_gdof.ravel(), st0.shape)
+
+    def __call__(self, coefs, u):
+        """u: (L, F) in lattice order (complex or real); coefs: (T, F)."""
+        nx, ny, nz = self.shape
+        C = self.Ws[0].shape[0]
+        F = u.shape[1]
+        lat = u.T.reshape(F, C, nx, ny, nz)
+        cplx = jnp.iscomplexobj(lat)
+        if cplx:
+            real = jnp.concatenate([jnp.real(lat), jnp.imag(lat)], axis=0)
+        else:
+            real = lat
+        y = jnp.zeros(u.shape, u.dtype)
+        for t, W in enumerate(self.Ws):
+            v = _structured_apply(W.astype(real.dtype), real, self.ess_lat)
+            if cplx:
+                v = v[:F] + 1j * v[F:]
+            y = y + coefs[t][None, :] * v.reshape(F, -1).T
+        return y
+
+
 def pec_ess_lat(p: int, shape: Tuple[int, int, int]) -> np.ndarray:
     """Analytic PEC (all-faces essential) mask on the dof lattice.
 
