@@ -114,14 +114,45 @@ def solve(iodata: IoData, output_dir: str | None = None):
         for attempt in range(3):
             k_req = 2 * nev + extra
             if Ccsr is not None and abs(Ccsr).max() > 0:
-                # cfg.tol is the user's declaration tolerance verbatim (the
-                # default is already 1e-6; strongly non-normal pencils
-                # converge much faster there, but an explicitly tighter
-                # request must be honored — reference ARPACK/SLEPc pass the
-                # config Tol through unchanged, eigensolver.cpp:169-176).
-                result = quadratic_eigs(Kcsr, Ccsr, Mcsr, ess, 1j * omega_t,
-                                        k_req, tol=cfg.tol,
-                                        divfree=divfree)
+                # Fast path first: lossless-seeded subspace projection
+                # (linalg/eig.py quadratic_eigs_jd) — one Hermitian
+                # shift-invert solve for the seed plus one complex
+                # factorization.  Falls back to the companion-ARPACK
+                # iteration when the pencil is too strongly damped for the
+                # seed to converge (reference: SLEPc PEP/TOAR,
+                # drivers/eigensolver.cpp:98-155).
+                result = None
+                if attempt == 0:
+                    try:
+                        from palace_tpu.linalg.eig import quadratic_eigs_jd
+
+                        Kre = Kcsr.real if np.iscomplexobj(
+                            Kcsr.data) else Kcsr
+                        Mre = Mcsr.real if np.iscomplexobj(
+                            Mcsr.data) else Mcsr
+                        seed = shift_invert_eigs(
+                            Kre.tocsr(), Mre.tocsr(), ess, omega_t ** 2,
+                            min(nev + 8, Kcsr.shape[0] // 4),
+                            tol=min(cfg.tol, 1e-9))
+                        result = quadratic_eigs_jd(
+                            Kcsr, Ccsr, Mcsr, ess, 1j * omega_t, nev + 4,
+                            seed.eigenvectors, tol=cfg.tol,
+                            divfree=divfree,
+                            log=lambda s: print_log(iodata, s))
+                    except Exception as e:
+                        print_log(iodata, f"quadratic JD fast path "
+                                          f"unavailable ({e!r})")
+                        result = None
+                if result is None:
+                    # cfg.tol is the user's declaration tolerance verbatim
+                    # (the default is already 1e-6; strongly non-normal
+                    # pencils converge much faster there, but an explicitly
+                    # tighter request must be honored — reference
+                    # ARPACK/SLEPc pass the config Tol through unchanged,
+                    # eigensolver.cpp:169-176).
+                    result = quadratic_eigs(Kcsr, Ccsr, Mcsr, ess,
+                                            1j * omega_t, k_req,
+                                            tol=cfg.tol, divfree=divfree)
                 omega = -1j * result.eigenvalues  # lam = i omega
             else:
                 from palace_tpu.drivers.driven import use_device_ksp
@@ -327,6 +358,7 @@ def solve(iodata: IoData, output_dir: str | None = None):
         _write_port_tables(iodata, sop, post_dir, omega, modes)
     if iodata.boundaries.surface_fluxes or iodata.boundaries.dielectrics:
         _write_surface_tables(iodata, sop, post_dir, omega, modes)
+    _write_farfield_eigen(iodata, sop, post_dir, omega, modes)
 
     # ParaView mode-field output.
     if iodata.problem.output_formats.paraview and cfg.n_post > 0 and modes:
@@ -478,6 +510,47 @@ def _write_surface_tables(iodata, sop, post_dir, omega, modes):
                 t.col(f"p{d.index}").data.append(p)
                 t.col(f"q{d.index}").data.append(Q if np.isfinite(Q) else 0.0)
         t.write(os.path.join(post_dir, "surface-Q.csv"))
+
+
+def _write_farfield_eigen(iodata, sop, post_dir, omega, modes):
+    """farfield-rE.csv per eigenmode (reference: postoperatorcsv.cpp
+    InitializeFarFieldE/PrintFarFieldE EIGENMODE branch: m, f_re, f_im,
+    exc=0, theta, phi, r*E components; kernel evaluated at Re{omega},
+    postoperator.cpp:1431-1440)."""
+    from palace_tpu.drivers.driven import build_farfield
+    from palace_tpu.post.farfield import stratton_chu
+
+    tb, grid = build_farfield(iodata, sop)
+    if tb is None:
+        return
+    units = iodata.units
+    ghz = units.scale_factor(ValueType.FREQUENCY)
+    V = 1.0 / units.scale_factor(ValueType.FIELD_E)
+    t = Table()
+    t.add(index_column("m"))
+    t.add(Column("fre", "f_re (GHz)"))
+    t.add(Column("fim", "f_im (GHz)"))
+    t.add(Column("exc", "exc", min_left_padding=2, print_as_int=True))
+    t.add(Column("theta", "theta (deg.)", min_left_padding=2))
+    t.add(Column("phi", "phi (deg.)", min_left_padding=2))
+    for d in ("x", "y", "z"):
+        t.add(Column(f"re{d}", f"r*Re{{E_{d}}} (V)"))
+        t.add(Column(f"im{d}", f"r*Im{{E_{d}}} (V)"))
+    for i in range(len(omega)):
+        f = omega[i] / (2 * math.pi) * ghz
+        rE = stratton_chu(sop, tb, modes[i], abs(float(np.real(omega[i]))),
+                          grid)
+        for p in range(len(grid)):
+            t.col("i").data.append(float(i + 1))
+            t.col("fre").data.append(float(np.real(f)))
+            t.col("fim").data.append(float(np.imag(f)))
+            t.col("exc").data.append(0.0)
+            t.col("theta").data.append(math.degrees(grid[p, 0]))
+            t.col("phi").data.append(math.degrees(grid[p, 1]))
+            for di, d in enumerate(("x", "y", "z")):
+                t.col(f"re{d}").data.append(rE[p, di].real * V)
+                t.col(f"im{d}").data.append(rE[p, di].imag * V)
+    t.write(os.path.join(post_dir, "farfield-rE.csv"))
 
 
 def _write_port_tables(iodata, sop, post_dir, omega, modes):
