@@ -224,7 +224,51 @@ def sweep_adaptive(iodata, sop: SpaceOperator, omegas, excitations,
             b = b + sop.waveport_rhs2(ex, omega)
         return b
 
+    # Greedy HDM solves: the device FGMRES + p-MG solver with lazily added
+    # sample frequencies (device_ksp.add_omega) — each greedy sample would
+    # otherwise pay a full sparse-direct factorization, which is what blew
+    # the cpw adaptive cases past their wall-clock budget (reference:
+    # drivensolver.cpp adaptive loop reuses the same ksp too).
+    _dev = {"solver": None, "omega_idx": {}}
+
+    def _device_solver():
+        if _dev["solver"] is None:
+            from palace_tpu.drivers.driven import use_device_ksp
+            from palace_tpu.linalg.device_ksp import BlockedDeviceSolver
+
+            if not (use_device_ksp(iodata, sop.space.num_dofs)
+                    and not has_slow_a2):
+                _dev["solver"] = False
+            else:
+                lin = iodata.solver.linear
+                try:
+                    _dev["solver"] = BlockedDeviceSolver(
+                        sop.space, iodata.boundaries.pec,
+                        sop.driven_terms([]), [], sop.ess_mask,
+                        tol=lin.tol, max_its=lin.max_its,
+                        restart=(lin.max_size if lin.max_size > 0 else 30),
+                        max_block=1,
+                        log=lambda s: print_log(iodata, s))
+                except Exception as e:
+                    print_log(iodata, f"  PROM: device solver unavailable "
+                                      f"({e!r}); sparse-direct HDM solves")
+                    _dev["solver"] = False
+        return _dev["solver"]
+
     def solve_hdm(omega, ex):
+        solver = _device_solver()
+        if solver is not False:
+            if omega not in _dev["omega_idx"]:
+                _dev["omega_idx"][omega] = solver.add_omega(omega)
+            b = rhs(ex, omega).copy()
+            b[~free_mask] = 0.0
+            X, info = solver.solve(b[:, None],
+                                   omega_idx=[_dev["omega_idx"][omega]])
+            if float(np.max(info["relres"])) <= max(
+                    100.0 * iodata.solver.linear.tol, 1e-8):
+                return X[:, 0]
+            print_log(iodata, "  PROM: device HDM solve not converged; "
+                              "sparse-direct fallback for this sample")
         lu = splu_nd(assemble(omega).tocsc(), coords)
         return lu.solve(rhs(ex, omega))
 

@@ -322,42 +322,67 @@ class BlockedDeviceSolver:
                 lvl["Pt"] = _csr_to_ell(P_li.T.tocsr())
             self._levels.append(lvl)
 
-        # Frequency tables: coefficients and lambda_max estimates.
-        F_all = len(self.omegas)
-        T = len(terms)
-        self._coefs_all = np.array(
-            [[t.coef(w) for w in self.omegas] for t in terms], complex)
-        self._bcoefs_all = np.array(
-            [[t.smoothing_coef(w) for w in self.omegas] for t in terms],
-            complex)
+        # Frequency tables: coefficients, lambda_max estimates, and the
+        # coarse complex factorization per frequency.  Kept appendable so
+        # the adaptive PROM driver can add greedy sample frequencies
+        # without rebuilding the solver (`add_omega`).
         L = len(self._levels)
-        self._lmax_all = np.ones((L, F_all))
-        self._aux_lmax_all = np.ones((L, F_all))
-        for li in range(L):
-            for fi in range(F_all):
-                B = sum(self._bcoefs_all[t, fi] * csrs[li][t]
-                        for t in range(T))
-                self._lmax_all[li, fi] = _lmax_est(B, ess_masks[li])
-                if use_aux:
-                    Bg = sum(self._bcoefs_all[t, fi] * aux_csrs_all[li][t]
-                             for t in range(T))
-                    essg = np.asarray(self._levels[li]["aux_free"]) == 0.0
-                    self._aux_lmax_all[li, fi] = _lmax_est(Bg, essg)
-
-        # Coarse complex factorizations per frequency (host).
-        from scipy.sparse.linalg import splu
-
-        Lc, essL = csrs[-1], ess_masks[-1]
+        T = len(terms)
+        self._setup_csrs = csrs
+        self._setup_aux_csrs = aux_csrs_all
+        self._setup_ess_masks = ess_masks
+        self._use_aux = use_aux
+        self._coefs_all = np.zeros((T, 0), complex)
+        self._bcoefs_all = np.zeros((T, 0), complex)
+        self._lmax_all = np.ones((L, 0))
+        self._aux_lmax_all = np.ones((L, 0))
         self._coarse_lus = []
-        for fi in range(F_all):
-            A = sum(self._coefs_all[t, fi] * Lc[t] for t in range(T))
-            A = A + sp.diags(essL.astype(float))
-            self._coarse_lus.append(splu(A.tocsc()))
+        init_omegas, self.omegas = self.omegas, []
+        for w in init_omegas:
+            self.add_omega(w)
         self._active_lus: List = []
         self._smooth_order = smooth_order
         self._smooth_its = smooth_its
         self._use_aux = use_aux
         self._solve_fn = None
+
+    def add_omega(self, w: float) -> int:
+        """Register a new sweep frequency; returns its omega_idx.  Computes
+        the per-frequency coefficient/lmax columns and the coarse complex
+        LU — the jitted solve is frequency-table-driven and needs no
+        recompilation (used by the adaptive PROM greedy loop)."""
+        from scipy.sparse.linalg import splu
+
+        csrs = self._setup_csrs
+        aux_csrs_all = self._setup_aux_csrs
+        ess_masks = self._setup_ess_masks
+        T = len(self.terms)
+        L = len(self._levels)
+        coefs = np.array([t.coef(w) for t in self.terms], complex)
+        bcoefs = np.array([t.smoothing_coef(w) for t in self.terms],
+                          complex)
+        lmax = np.ones(L)
+        aux_lmax = np.ones(L)
+        for li in range(L):
+            B = sum(bcoefs[t] * csrs[li][t] for t in range(T))
+            lmax[li] = _lmax_est(B, ess_masks[li])
+            if self._use_aux:
+                Bg = sum(bcoefs[t] * aux_csrs_all[li][t] for t in range(T))
+                essg = np.asarray(self._levels[li]["aux_free"]) == 0.0
+                aux_lmax[li] = _lmax_est(Bg, essg)
+        A = sum(coefs[t] * csrs[-1][t] for t in range(T))
+        A = A + sp.diags(ess_masks[-1].astype(float))
+        self._coarse_lus.append(splu(A.tocsc()))
+        self._coefs_all = np.concatenate(
+            [self._coefs_all, coefs[:, None]], axis=1)
+        self._bcoefs_all = np.concatenate(
+            [self._bcoefs_all, bcoefs[:, None]], axis=1)
+        self._lmax_all = np.concatenate(
+            [self._lmax_all, lmax[:, None]], axis=1)
+        self._aux_lmax_all = np.concatenate(
+            [self._aux_lmax_all, aux_lmax[:, None]], axis=1)
+        self.omegas.append(float(w))
+        return len(self.omegas) - 1
 
     # -- the jitted chunk solve ---------------------------------------------
 
