@@ -14,7 +14,6 @@ from __future__ import annotations
 import math
 import os
 import time
-from typing import Dict, List
 
 import numpy as np
 import scipy.sparse as sp

@@ -16,8 +16,7 @@ values and curls at arbitrary points for any order.
 from __future__ import annotations
 
 import functools
-import itertools
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Dict, List, Sequence, Tuple
 
 import numpy as np

@@ -15,7 +15,7 @@ trace element exactly, and normal components drop out under P_t.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Dict, List, Optional
+from typing import Optional
 
 import numpy as np
 

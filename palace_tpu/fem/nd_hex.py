@@ -20,8 +20,7 @@ dof; none -> interior.
 from __future__ import annotations
 
 import functools
-import itertools
-from typing import Dict, List, Tuple
+from typing import List, Tuple
 
 import numpy as np
 

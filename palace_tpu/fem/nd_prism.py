@@ -25,7 +25,7 @@ rejected in fem/nd.py.
 from __future__ import annotations
 
 import functools
-from typing import List, Tuple
+from typing import Tuple
 
 import numpy as np
 

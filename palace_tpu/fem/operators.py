@@ -12,7 +12,6 @@ from typing import Dict, List, Optional
 import jax.numpy as jnp
 import numpy as np
 
-from palace_tpu.fem import reference as ref
 from palace_tpu.fem.h1 import H1Space
 from palace_tpu.mesh import geometry
 from palace_tpu.ops.partial import BucketTables, PAOperator

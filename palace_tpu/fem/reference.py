@@ -19,7 +19,7 @@ from __future__ import annotations
 import enum
 import functools
 from dataclasses import dataclass
-from typing import Dict, List, Tuple
+from typing import Tuple
 
 import numpy as np
 from scipy.special import roots_jacobi, roots_legendre

@@ -23,9 +23,7 @@ from typing import List, Tuple
 import numpy as np
 
 from palace_tpu.fem import dofmap
-from palace_tpu.fem import reference as ref
 from palace_tpu.fem.nd_hex import Ladder1D, _orient_maps, _vert_at
-from palace_tpu.fem.reference import Geom
 
 _RT_MARK = 211  # same marker family as fem/rt.py
 

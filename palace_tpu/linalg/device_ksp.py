@@ -35,7 +35,6 @@ sides) are arguments of a single jitted solve function.
 
 from __future__ import annotations
 
-import math
 from dataclasses import dataclass
 from typing import Callable, Dict, List, Optional, Sequence, Tuple
 

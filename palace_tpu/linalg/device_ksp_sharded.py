@@ -36,7 +36,6 @@ enforced by tests/test_sharded_driven.py.
 
 from __future__ import annotations
 
-import functools
 from typing import Callable, Dict, List, Optional, Sequence, Tuple
 
 import jax

@@ -8,8 +8,6 @@ are jax arrays with shardings attached.
 
 from __future__ import annotations
 
-from dataclasses import dataclass
-from functools import partial
 from typing import Callable, NamedTuple, Optional
 
 import jax

@@ -13,7 +13,7 @@ gathered direct coarse solve).
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Callable, List, Optional, Sequence
+from typing import Callable, List, Optional
 
 import jax
 import jax.numpy as jnp

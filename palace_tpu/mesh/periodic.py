@@ -12,7 +12,6 @@ union-find collapse to the representative node.
 
 from __future__ import annotations
 
-from typing import List, Tuple
 
 import numpy as np
 

@@ -22,13 +22,11 @@ Cartesian component vectors (AssembleFourierProjections :459-545).
 
 from __future__ import annotations
 
-import cmath
 import math
-from dataclasses import dataclass, field
-from typing import Dict, List, Optional, Tuple
+from dataclasses import dataclass
+from typing import Dict, List, Tuple
 
 import numpy as np
-import scipy.sparse as sp
 
 
 def _cross(a, b):

@@ -7,7 +7,7 @@ Reference: palace/models/laplaceoperator.hpp:36-38 — H1 stiffness
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Dict, List
+from typing import Dict
 
 import jax.numpy as jnp
 import numpy as np

@@ -14,7 +14,6 @@ and measurement functionals (port V/S) as precomputed vectors.
 from __future__ import annotations
 
 import math
-from dataclasses import dataclass
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np
@@ -30,7 +29,7 @@ from palace_tpu.fem.nd_operators import nd_operator
 from palace_tpu.fem.operators import default_qorder
 from palace_tpu.fem.reference import Geom
 from palace_tpu.mesh.mesh import Mesh, canonicalize_simplices
-from palace_tpu.models.lumpedport import LumpedPort, build_lumped_ports
+from palace_tpu.models.lumpedport import build_lumped_ports
 from palace_tpu.models.materials import MaterialOperator
 from palace_tpu.ops.partial import BucketTables, PAOperator
 

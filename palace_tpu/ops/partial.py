@@ -25,7 +25,7 @@ constants, which XLA would inline as giant literals).
 from __future__ import annotations
 
 import functools
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Callable, List, Optional, Sequence
 
 import jax

@@ -36,8 +36,8 @@ shape ``(n_ifc,)`` replicated.
 from __future__ import annotations
 
 import functools
-from dataclasses import dataclass, field
-from typing import Callable, List, Optional, Sequence, Tuple
+from dataclasses import dataclass
+from typing import List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -19,7 +19,7 @@ axis sharded on "freq".
 from __future__ import annotations
 
 import functools
-from typing import List, Optional, Sequence
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

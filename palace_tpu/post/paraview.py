@@ -9,12 +9,11 @@ collection file."""
 from __future__ import annotations
 
 import os
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Tuple
 
 import numpy as np
 
 from palace_tpu.fem import reference as ref
-from palace_tpu.fem.reference import Geom
 
 # gmsh etype -> (VTK cell type, node permutation gmsh->vtk)
 _VTK = {

@@ -20,7 +20,6 @@ Comparison semantics (regression_helpers.cpp:223-296):
 
 from __future__ import annotations
 
-import json
 import math
 import os
 import time
