@@ -277,3 +277,147 @@ def read_nastran(path: str) -> GmshMesh:
                         np.array([r[0] for r in rows], np.int32),
                         np.zeros(ne, np.int32))
     return GmshMesh(nodes=np.array(coords, np.float64), elements=elements)
+
+
+# ---------------------------------------------------------------------------
+# MFEM native (.mesh) and VTK legacy (.vtk) readers
+# (reference: MFEM's own readers reached via geodata.cpp LoadMesh; the
+# format facts are from the MFEM mesh-v1.0 spec and the VTK file-formats
+# documentation.)
+
+# MFEM geometry id -> (gmsh element type, nodes); linear elements.
+_MFEM_GEOM = {
+    1: (15, 1),  # POINT
+    2: (1, 2),   # SEGMENT
+    3: (2, 3),   # TRIANGLE
+    4: (3, 4),   # SQUARE
+    5: (4, 4),   # TETRAHEDRON
+    6: (5, 8),   # CUBE
+    7: (6, 6),   # PRISM
+}
+
+
+def read_mfem(path: str) -> GmshMesh:
+    """MFEM mesh v1.0/v1.2 (ASCII, straight-sided).  MFEM vertex orderings
+    for segment/triangle/square/tet/cube/prism coincide with the Gmsh
+    linear orderings.  Curved meshes (a `nodes` FiniteElementSpace section)
+    are not supported — the corpus' curved meshes are Gmsh."""
+    with open(path) as fh:
+        txt = fh.read()
+    lines = [ln.split("#", 1)[0].strip() for ln in txt.splitlines()]
+    lines = [ln for ln in lines if ln]
+    if not lines or not lines[0].startswith("MFEM mesh"):
+        raise ValueError(f"{path}: not an MFEM mesh file")
+
+    def section(name):
+        try:
+            return lines.index(name)
+        except ValueError:
+            return None
+
+    i = section("dimension")
+    dim = int(lines[i + 1])
+
+    def read_elems(start):
+        cnt = int(lines[start + 1])
+        out: Dict[int, list] = {}
+        for k in range(cnt):
+            parts = lines[start + 2 + k].split()
+            attr, geom = int(parts[0]), int(parts[1])
+            et, nn = _MFEM_GEOM[geom]
+            verts = [int(v) for v in parts[2:2 + nn]]
+            out.setdefault(et, []).append((attr, verts))
+        return out, start + 2 + cnt
+
+    elements: Dict[int, tuple] = {}
+
+    def add(blocks):
+        for et, rows in blocks.items():
+            conn = np.array([r[1] for r in rows], np.int32)
+            attr = np.array([r[0] for r in rows], np.int32)
+            if et in elements:
+                c0, a0, z0 = elements[et]
+                conn = np.concatenate([c0, conn])
+                attr = np.concatenate([a0, attr])
+            elements[et] = (conn, attr, np.zeros(len(attr), np.int32))
+
+    i = section("elements")
+    blocks, _ = read_elems(i)
+    add(blocks)
+    i = section("boundary")
+    if i is not None:
+        blocks, _ = read_elems(i)
+        add(blocks)
+
+    i = section("vertices")
+    nv = int(lines[i + 1])
+    if section("nodes") is not None:
+        raise NotImplementedError(
+            f"{path}: curved MFEM meshes (nodes FE section) not supported")
+    vdim = int(lines[i + 2])
+    coords = np.zeros((nv, 3))
+    for k in range(nv):
+        vals = [float(v) for v in lines[i + 3 + k].split()]
+        coords[k, :vdim] = vals[:vdim]
+    _ = dim
+    return GmshMesh(nodes=coords, elements=elements)
+
+
+# VTK cell type -> gmsh element type (linear cells).
+_VTK_TYPES = {3: 1, 5: 2, 9: 3, 10: 4, 12: 5, 13: 6, 1: 15}
+
+
+def read_vtk(path: str) -> GmshMesh:
+    """VTK legacy ASCII UNSTRUCTURED_GRID with linear cells; cell
+    attributes from the first CELL_DATA SCALARS array (the convention
+    MFEM's VTK reader uses for material/boundary attributes)."""
+    with open(path) as fh:
+        tokens = fh.read().split()
+    tl = [t.lower() for t in tokens]
+
+    def find(word):
+        try:
+            return tl.index(word)
+        except ValueError:
+            return None
+
+    i = find("points")
+    if i is None:
+        raise ValueError(f"{path}: no POINTS section")
+    npts = int(tokens[i + 1])
+    coords = np.array(tokens[i + 3:i + 3 + 3 * npts],
+                      np.float64).reshape(npts, 3)
+
+    i = find("cells")
+    ncell = int(tokens[i + 1])
+    pos = i + 3
+    cells = []
+    for _ in range(ncell):
+        nn = int(tokens[pos])
+        cells.append([int(v) for v in tokens[pos + 1:pos + 1 + nn]])
+        pos += 1 + nn
+
+    i = find("cell_types")
+    types = [int(t) for t in tokens[i + 2:i + 2 + ncell]]
+
+    attrs = np.ones(ncell, np.int32)
+    i = find("cell_data")
+    if i is not None:
+        j = find("scalars")
+        if j is not None:
+            k = tl.index("lookup_table", j)
+            attrs = np.array(tokens[k + 2:k + 2 + ncell], float).astype(
+                np.int32)
+
+    elements: Dict[int, list] = {}
+    for c, ty, a in zip(cells, types, attrs):
+        if ty not in _VTK_TYPES:
+            raise NotImplementedError(
+                f"{path}: VTK cell type {ty} not supported (linear only)")
+        elements.setdefault(_VTK_TYPES[ty], []).append((a, c))
+    out: Dict[int, tuple] = {}
+    for et, rows in elements.items():
+        out[et] = (np.array([r[1] for r in rows], np.int32),
+                   np.array([r[0] for r in rows], np.int32),
+                   np.zeros(len(rows), np.int32))
+    return GmshMesh(nodes=coords, elements=out)

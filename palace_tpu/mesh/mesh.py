@@ -337,9 +337,10 @@ def canonicalize_simplices(mesh: Mesh):
 
 
 def load_mesh(path: str) -> Mesh:
-    """Load a mesh file: Gmsh MSH 2.2, COMSOL .mphtxt/.mphbin, or Nastran
-    .nas/.bdf (reference: palace/utils/geodata.cpp:2048-2066 converts the
-    latter two through an in-memory Gmsh file)."""
+    """Load a mesh file: Gmsh MSH 2.2, COMSOL .mphtxt/.mphbin, Nastran
+    .nas/.bdf, MFEM-native .mesh, or VTK legacy .vtk (reference:
+    palace/utils/geodata.cpp:2048-2066 converts COMSOL/Nastran through an
+    in-memory Gmsh file; MFEM/VTK are read by mfem::Mesh itself)."""
     low = path.lower()
     if low.endswith((".mphtxt", ".mphbin")):
         from palace_tpu.mesh.convert import read_comsol
@@ -349,6 +350,14 @@ def load_mesh(path: str) -> Mesh:
         from palace_tpu.mesh.convert import read_nastran
 
         raw = read_nastran(path)
+    elif low.endswith(".mesh"):
+        from palace_tpu.mesh.convert import read_mfem
+
+        raw = read_mfem(path)
+    elif low.endswith(".vtk"):
+        from palace_tpu.mesh.convert import read_vtk
+
+        raw = read_vtk(path)
     else:
         raw = gmshio.read(path)
     max_dim = max(

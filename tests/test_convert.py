@@ -167,3 +167,80 @@ def test_read_nastran_tet10_continuation(tmp_path):
     lam = np.concatenate([1 - rn.sum(1, keepdims=True), rn], axis=1)
     expect = lam @ v
     assert np.allclose(mesh.nodes[tets.conn[0]], expect)
+
+
+def test_read_mfem_native(tmp_path):
+    """MFEM mesh v1.0 (straight): unit square, 2 triangles + 4 boundary
+    segments, attributes preserved."""
+    from palace_tpu.mesh.mesh import load_mesh
+
+    src = """\
+MFEM mesh v1.0
+
+dimension
+2
+
+elements
+2
+1 3 0 1 2
+2 3 0 2 3
+
+boundary
+4
+10 2 0 1
+11 2 1 2
+12 2 2 3
+13 2 3 0
+
+vertices
+4
+2
+0 0
+1 0
+1 1
+0 1
+"""
+    p = tmp_path / "sq.mesh"
+    p.write_text(src)
+    mesh = load_mesh(str(p))
+    assert mesh.num_elements == 2
+    assert sorted(mesh.buckets[0].attr.tolist()) == [1, 2]
+    bdr = mesh.bdr_buckets[0]
+    assert sorted(bdr.attr.tolist()) == [10, 11, 12, 13]
+    import numpy as np
+    assert np.allclose(mesh.nodes[:, :2],
+                       [[0, 0], [1, 0], [1, 1], [0, 1]])
+
+
+def test_read_vtk_legacy(tmp_path):
+    """VTK legacy ASCII: 1 tet + 1 boundary triangle with CELL_DATA."""
+    from palace_tpu.mesh.mesh import load_mesh
+
+    src = """\
+# vtk DataFile Version 3.0
+test
+ASCII
+DATASET UNSTRUCTURED_GRID
+POINTS 4 float
+0 0 0
+1 0 0
+0 1 0
+0 0 1
+CELLS 2 9
+4 0 1 2 3
+3 0 1 2
+CELL_TYPES 2
+10
+5
+CELL_DATA 2
+SCALARS material int 1
+LOOKUP_TABLE default
+7
+42
+"""
+    p = tmp_path / "t.vtk"
+    p.write_text(src)
+    mesh = load_mesh(str(p))
+    assert mesh.num_elements == 1
+    assert mesh.buckets[0].attr.tolist() == [7]
+    assert mesh.bdr_buckets[0].attr.tolist() == [42]
