@@ -16,32 +16,54 @@ Rows (one JSON line each, printed as soon as measured):
    linalg/device_ksp.py Term), so one complex apply = the real apply on the
    stacked [Re, Im] column block.  On CPU the row is native complex128.
 2. structured-mesh apply (ops/structured.py — uniform box hex fast path),
-   bf16 and f32, via sliced_apply (shifted-slice E-vector + one shared
-   (nd, nd) MXU matmul — the minimal-FLOP kernel; the stencil-conv variant
-   does not lower on this backend and carried ~8.5x padded FLOPs anyway).
+   bf16 and f32, via sliced_apply, and the Pallas block-copy kernel
+   (ops/pallas_structured.py).
 
 vs_baseline is honest chip speed-of-light: achieved / (N / t_model) with
 t_model = max(minimal_flops / chip_peak(dtype), minimal_bytes / chip_BW),
 where minimal_flops is the assembled-CSR matvec count 2*nnz (unstructured)
-or the element-matmul count 2*E*nd^2 (structured; the conv itself pads
-~8.5x more FLOPs — those do NOT enter the model), and minimal_bytes
+or the element-matmul count 2*E*nd^2 (structured), and minimal_bytes
 streams u + y once plus the operator tables amortized over the block.
-For f64/complex128 the FLOP term is omitted (no public TPU f64 MXU rate);
-the bandwidth-only model is an upper bound, so vs_baseline is understated.
 
-Setup is kept under ~15 s: the structured operator builds via
-StructuredNDOperator.build_uniform (single reference-cell element matrix +
-analytic PEC lattice mask) instead of assembling the full 18^3 space — the
-r2 bench timed out in exactly that host-side setup.
+TIME BUDGET: the tunneled "axon" TPU backend compiles each kernel in
+~60-120 s and carries 100-300 ms per-dispatch RTT (amortized inside
+_measure's fori_loop).  The round-2 bench timed out compiling 7 kernels.
+This version enforces a global deadline (BENCH_DEADLINE_S, default 450 s):
+rows are ordered production-path-first and each row is skipped — with a
+stderr note — when the remaining budget is below its estimated cost, so
+the driver ALWAYS gets at least the headline row.  A persistent JAX
+compilation cache (.jax_cache/) makes repeat runs hit warm compiles.
 """
 
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+T0 = time.time()
+DEADLINE = float(os.environ.get("BENCH_DEADLINE_S", "450"))
+
+
+def remaining() -> float:
+    return DEADLINE - (time.time() - T0)
+
+
+def _setup_cache():
+    import jax
+
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         ".jax_cache")
+    try:
+        os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    except Exception as exc:
+        print(f"compilation cache unavailable: {exc!r}", file=sys.stderr)
 
 
 def _sync(x):
@@ -113,7 +135,7 @@ def bench_unstructured(on_tpu, bw, peaks):
     from palace_tpu.mesh.generate import box_tet
     from palace_tpu.mesh.mesh import canonicalize_simplices
 
-    n = 16 if on_tpu else 4
+    n = 12 if on_tpu else 4
     mesh = box_tet(n, n, n)
     canonicalize_simplices(mesh)
     space = NDSpace(mesh, 3)
@@ -128,35 +150,45 @@ def bench_unstructured(on_tpu, bw, peaks):
     # Assembled-CSR nnz (minimal-FLOP denominator), estimated per-element
     # from a small mesh of the same family (ratio is mesh-size invariant to
     # ~1%; the full COO would cost ~1 GB of host memory here).
-    m_s = box_tet(6, 6, 6)
+    m_s = box_tet(4, 4, 4)
     canonicalize_simplices(m_s)
     s_s = NDSpace(m_s, 3)
     op_s = nd_operator(s_s, curl_coef=eye, mass_coef=eye)
     nnz = op_s.assemble_csr().nnz * (E / op_s.buckets[0].gidx.shape[0])
 
-    rng = np.random.default_rng(0)
     # rows: (tag, compute dtype, complex-as-real-pair?, n complex/real
-    # vectors, iters)
-    rows = [("float32", jnp.float32, False, 512 if on_tpu else 4,
-             20 if on_tpu else 3)]
+    # vectors, iters, est. cost in s — compile dominates on the tunnel)
+    rows = [("float32", jnp.float32, False, 128 if on_tpu else 4,
+             8 if on_tpu else 3, 150.0)]
     if on_tpu:
-        rows.append(("complex64_realpair", jnp.float32, True, 64, 10))
+        rows.append(("complex64_realpair", jnp.float32, True, 32, 8, 130.0))
     else:
-        rows.append(("complex128", jnp.complex128, False, 2, 3))
-    for name, dtype, pair, B, iters in rows:
+        rows.append(("complex128", jnp.complex128, False, 2, 3, 30.0))
+    gidx_j = jnp.asarray(np.asarray(gidx))
+    perm_j = jnp.asarray(np.asarray(perm))
+    seg_j = jnp.asarray(np.asarray(seg))
+    for name, dtype, pair, B, iters, est in rows:
+      if remaining() < est:
+          print(f"unstructured {name} skipped: {remaining():.0f}s left "
+                f"< {est:.0f}s estimate", file=sys.stderr)
+          continue
       try:
-        is_c = jnp.issubdtype(dtype, jnp.complexfloating)
-        A = t["A"].astype(dtype)
+        A = jnp.asarray(np.asarray(t["A"], dtype))
         ncol = 2 * B if pair else B  # real-pair: [Re | Im] column block
-        U = rng.standard_normal((N, ncol))
+        is_c = jnp.issubdtype(dtype, jnp.complexfloating)
+        key = jax.random.PRNGKey(0)
         if is_c:
-            U = U + 1j * rng.standard_normal((N, ncol))
-        U = jnp.asarray(U.astype(dtype))
+            rng = np.random.default_rng(0)
+            U = rng.standard_normal((N, ncol)) \
+                + 1j * rng.standard_normal((N, ncol))
+            U = jnp.asarray(U.astype(dtype))
+        else:
+            U = jax.random.normal(key, (N, ncol), dtype)
 
         def blocked_apply(u):
-            ul = u[gidx]
+            ul = u[gidx_j]
             vl = jnp.einsum("enm,emb->enb", A, ul)
-            return jax.ops.segment_sum(vl.reshape(-1, ncol)[perm], seg,
+            return jax.ops.segment_sum(vl.reshape(-1, ncol)[perm_j], seg_j,
                                        num_segments=N,
                                        indices_are_sorted=True)
 
@@ -181,12 +213,17 @@ def bench_structured(on_tpu, bw, peaks):
 
     from palace_tpu.ops.structured import StructuredNDOperator
 
-    n = 18 if on_tpu else 4
+    n = 16 if on_tpu else 4
     p = 3
-    for dtype, B, iters in ((jnp.float32, 128 if on_tpu else 4,
-                             20 if on_tpu else 3),
-                            (jnp.bfloat16, 512 if on_tpu else 4,
-                             20 if on_tpu else 3)):
+    for dtype, B, iters, est in ((jnp.bfloat16, 128 if on_tpu else 4,
+                                  8 if on_tpu else 3, 130.0),
+                                 (jnp.float32, 64 if on_tpu else 4,
+                                  8 if on_tpu else 3, 120.0)):
+      if remaining() < est:
+          print(f"structured {jnp.dtype(dtype).name} skipped: "
+                f"{remaining():.0f}s left < {est:.0f}s estimate",
+                file=sys.stderr)
+          continue
       try:
         sop = StructuredNDOperator.build_uniform(p, (n, n, n), 1.0 / n,
                                                  dtype=dtype)
@@ -225,8 +262,14 @@ def bench_pallas(on_tpu, bw, peaks):
 
     if not on_tpu:
         return  # interpret mode is correctness-only; timing is meaningless
-    n, p = 18, 3
-    for dtype, B, iters in ((jnp.bfloat16, 128, 20), (jnp.float32, 128, 20)):
+    n, p = 16, 3
+    for dtype, B, iters, est in ((jnp.bfloat16, 128, 8, 130.0),
+                                 (jnp.float32, 64, 8, 120.0)):
+      if remaining() < est:
+          print(f"pallas {jnp.dtype(dtype).name} skipped: "
+                f"{remaining():.0f}s left < {est:.0f}s estimate",
+                file=sys.stderr)
+          continue
       try:
         sop = StructuredNDOperator.build_uniform(p, (n, n, n), 1.0 / n,
                                                  dtype=dtype)
@@ -258,6 +301,7 @@ def bench_pallas(on_tpu, bw, peaks):
 
 
 def main():
+    _setup_cache()
     on_tpu, bw, peaks = _chip()
     ok = 0
     for fn in (bench_unstructured, bench_structured, bench_pallas):

@@ -122,6 +122,176 @@ class SDIRK23:
                  aB + h * (k1_B + k2_B)), t + dt)
 
 
+class _WRMS:
+    """SUNDIALS-style weighted RMS error norm over the stacked state
+    (reference: ARKodeSStolerances/CVodeSStolerances with scalar rel/abs
+    tolerances, timeoperator.cpp:345,369)."""
+
+    def __init__(self, rel_tol: float, abs_tol: float):
+        self.rel = rel_tol
+        self.abs = abs_tol
+
+    def __call__(self, err, x) -> float:
+        num = 0.0
+        n = 0
+        for e, xi in zip(err, x):
+            e = np.asarray(e)
+            w = self.abs + self.rel * np.abs(np.asarray(xi))
+            num += float(np.sum((e / w) ** 2))
+            n += e.size
+        return math.sqrt(num / max(n, 1))
+
+
+class AdaptiveSDIRK:
+    """Adaptive implicit RK (the reference's Solver/Transient/Type "ARKODE",
+    timeoperator.cpp:331-355: SUNDIALS ARKODE with ARKodeSetOrder and
+    SStolerances).  TPU-native re-implementation: an embedded SDIRK pair —
+    the 2-stage stiffly-accurate scheme of SDIRK23 with an embedded
+    lower-order solution err = dt/2 (k2 - k1) — driven by a PI step-size
+    controller on the SUNDIALS WRMS norm.  "Order" selects the stage gamma
+    (<= 2: L-stable gamma = (2-sqrt(2))/2; >= 3: the 3rd-order A-stable
+    gamma = (3+sqrt(3))/6; orders above 3 clamp to 3, logged by the caller).
+
+    Step-size changes refactorize A = M + dt*g C + (dt*g)^2 K, so the
+    controller applies hysteresis: dt only changes when the proposal moves
+    >15% or a step is rejected (the lagged-reconfiguration idea of
+    timeoperator.cpp:95-109/ImplicitSolve dt_ caching)."""
+
+    def __init__(self, op: TransientOperator, rel_tol: float, abs_tol: float,
+                 order: int = 2):
+        self.op = op
+        self.g = ((2.0 - math.sqrt(2.0)) / 2.0 if order <= 2
+                  else (3.0 + math.sqrt(3.0)) / 6.0)
+        self.norm = _WRMS(rel_tol, abs_tol)
+        self.dt = None  # current internal step
+        self.err_prev = 1.0
+        self.n_steps = 0
+        self.n_rejected = 0
+
+    def _stages(self, x, t, dt):
+        op = self.op
+        g = self.g
+        u1, u2, aB = x
+        k1_1, k1_2 = op.implicit_solve(g * dt, u1, u2, t + g * dt)
+        k1_B = u2 + g * dt * k1_2
+        c = dt * (1.0 - 2.0 * g)
+        k2_1, k2_2 = op.implicit_solve(g * dt, u1 + c * k1_1, u2 + c * k1_2,
+                                       t + (1.0 - g) * dt)
+        k2_B = (u2 + c * k1_2) + g * dt * k2_2
+        h = 0.5 * dt
+        x_new = (u1 + h * (k1_1 + k2_1), u2 + h * (k1_2 + k2_2),
+                 aB + h * (k1_B + k2_B))
+        err = (h * (k2_1 - k1_1), h * (k2_2 - k1_2), h * (k2_B - k1_B))
+        return x_new, err
+
+    def advance(self, x, t, t_target, dt_hint):
+        """Integrate from t to t_target with internal adaptive substeps."""
+        if self.dt is None:
+            self.dt = dt_hint
+        while t < t_target - 1e-14 * max(abs(t_target), 1.0):
+            dt = min(self.dt, t_target - t)
+            x_new, err = self._stages(x, t, dt)
+            e = self.norm(err, x_new)
+            if not math.isfinite(e):
+                e = 10.0
+            if e <= 1.0:  # accept
+                x, t = x_new, t + dt
+                self.n_steps += 1
+                # PI controller (H211-like): order-2 method, order-1 embedded.
+                fac = 0.9 * (max(e, 1e-10) ** -0.35) * \
+                    (max(self.err_prev, 1e-10) ** 0.15)
+                self.err_prev = max(e, 1e-10)
+                fac = min(max(fac, 0.2), 5.0)
+                if fac > 1.15 or fac < 0.85:  # hysteresis: avoid refactoring
+                    self.dt = self.dt * fac
+            else:  # reject, shrink
+                self.n_rejected += 1
+                self.dt = dt * min(max(0.9 * e ** -0.5, 0.2), 0.9)
+        return x, t
+
+
+class AdaptiveBDF:
+    """Adaptive multistep BDF (the reference's Solver/Transient/Type "CVODE",
+    timeoperator.cpp:356-373: SUNDIALS CVODE CV_BDF with SetMaxOrder and
+    SStolerances).  TPU-native re-implementation: variable-step BDF2 (BDF1
+    startup) with a variable-step AB2 predictor; the local error estimate is
+    the scaled predictor-corrector difference (the standard Milne device),
+    stepped by the same WRMS controller as AdaptiveSDIRK.  "Order" clamps
+    the BDF order to min(order, 2)."""
+
+    def __init__(self, op: TransientOperator, rel_tol: float, abs_tol: float,
+                 order: int = 2):
+        self.op = op
+        self.max_order = max(1, min(order, 2))
+        self.norm = _WRMS(rel_tol, abs_tol)
+        self.dt = None
+        self.hist = []  # [(t, x, f)] most recent last
+        self.n_steps = 0
+        self.n_rejected = 0
+
+    def _f(self, x, t):
+        d1, d2 = self.op.mult(x[0], x[1], t)
+        return (d1, d2, x[1].copy())
+
+    def _bdf_step(self, t, dt):
+        """One BDF step from the newest history point; returns (x_new, err)."""
+        tn, xn, fn = self.hist[-1]
+        if len(self.hist) < 2 or self.max_order == 1:
+            # BDF1 (backward Euler): x = xn + dt f(x).  Error estimate vs
+            # the forward-Euler predictor: err ~ (x - xp)/2.
+            k = self.op.implicit_solve(dt, xn[0], xn[1], t + dt)
+            kB = xn[1] + dt * k[1]
+            x = (xn[0] + dt * k[0], xn[1] + dt * k[1], xn[2] + dt * kB)
+            xp = tuple(xi + dt * fi for xi, fi in zip(xn, fn))
+            err = tuple(0.5 * (a - b) for a, b in zip(x, xp))
+            return x, err
+        tm, xm, fm = self.hist[-2]
+        r = dt / (tn - tm)
+        # Variable-step BDF2: x - a1 xn - a2 xm = b dt f(x) with
+        # a1 = (1+r)^2/(1+2r), a2 = -r^2/(1+2r), b = (1+r)/(1+2r).
+        a1 = (1 + r) ** 2 / (1 + 2 * r)
+        a2 = -(r ** 2) / (1 + 2 * r)
+        b = (1 + r) / (1 + 2 * r)
+        ystar = tuple(a1 * yn + a2 * ym for yn, ym in zip(xn, xm))
+        h = b * dt
+        k = self.op.implicit_solve(h, ystar[0], ystar[1], t + dt)
+        kB = ystar[1] + h * k[1]
+        x = (ystar[0] + h * k[0], ystar[1] + h * k[1], ystar[2] + h * kB)
+        # Variable-step AB2 predictor (order 2, different error constant).
+        xp = tuple(xi + dt * ((1 + r / 2) * fi - (r / 2) * gi)
+                   for xi, fi, gi in zip(xn, fn, fm))
+        err = tuple((a - bb) / 6.0 for a, bb in zip(x, xp))
+        return x, err
+
+    def advance(self, x, t, t_target, dt_hint):
+        if self.dt is None:
+            self.dt = dt_hint
+        if not self.hist:
+            self.hist = [(t, x, self._f(x, t))]
+        while t < t_target - 1e-14 * max(abs(t_target), 1.0):
+            dt = min(self.dt, t_target - t)
+            x_new, err = self._bdf_step(t, dt)
+            e = self.norm(err, x_new)
+            if not math.isfinite(e):
+                e = 10.0
+            if e <= 1.0:
+                t = t + dt
+                x = x_new
+                self.hist.append((t, x, self._f(x, t)))
+                if len(self.hist) > 2:
+                    self.hist.pop(0)
+                self.n_steps += 1
+                p = 1 if len(self.hist) < 2 or self.max_order == 1 else 2
+                fac = min(max(0.9 * max(e, 1e-10) ** (-1.0 / (p + 1)),
+                              0.2), 5.0)
+                if fac > 1.15 or fac < 0.85:
+                    self.dt = self.dt * fac
+            else:
+                self.n_rejected += 1
+                self.dt = dt * min(max(0.9 * e ** -0.5, 0.2), 0.9)
+        return x, t
+
+
 class GeneralizedAlpha:
     """MFEM first-order generalized-alpha (rho_inf = 1: alpha_m = alpha_f =
     gamma = 1/2, the implicit midpoint family)."""
@@ -195,10 +365,15 @@ def solve(iodata: IoData, output_dir: str | None = None):
         ode = GeneralizedAlpha(op)
     elif cfg.type in ("RungeKutta", "SDIRK23"):
         ode = SDIRK23(op)
+    elif cfg.type == "ARKODE":
+        if cfg.order > 3:
+            print_log(iodata, "  ARKODE order > 3 clamps to the 3rd-order "
+                              "SDIRK stage (TPU-native embedded pair)")
+        ode = AdaptiveSDIRK(op, cfg.rel_tol, cfg.abs_tol, cfg.order)
+    elif cfg.type == "CVODE":
+        ode = AdaptiveBDF(op, cfg.rel_tol, cfg.abs_tol, cfg.order)
     else:
-        raise NotImplementedError(
-            f"transient scheme {cfg.type} (ARKODE/CVODE adaptive stepping "
-            "is not implemented; reference: timeoperator.cpp:332-373)")
+        raise NotImplementedError(f"transient scheme {cfg.type}")
 
     n = sop.space.num_dofs
     x = (np.zeros(n), np.zeros(n), np.zeros(n))
@@ -216,9 +391,13 @@ def solve(iodata: IoData, output_dir: str | None = None):
     port_fn = {idx: sop.port_functionals(idx) for idx in sop.ports}
     rows = []
     eta2_steps, energies = [], []
+    adaptive = isinstance(ode, (AdaptiveSDIRK, AdaptiveBDF))
     for step_i in range(nstep):
         if step_i > 0:
-            x, t = ode.step(x, t, dt)
+            if adaptive:
+                x, t = ode.advance(x, t, step_i * dt, dt)
+            else:
+                x, t = ode.step(x, t, dt)
         row = measure_transient(iodata, sop, op, x, t, g, port_fn,
                                 probe_locs)
         rows.append(row)
@@ -243,6 +422,12 @@ def solve(iodata: IoData, output_dir: str | None = None):
             print_log(iodata, f"  step {step_i}/{nstep - 1}, "
                               f"t = {t * tscale:.4f} ns")
 
+    if adaptive:
+        # Stepper statistics, mirroring the reference's ARKODE/CVODE report
+        # (timeoperator.cpp:425-450 PrintStats).
+        print_log(iodata, f"  adaptive stepper: {ode.n_steps} internal steps,"
+                          f" {ode.n_rejected} rejected, final dt = "
+                          f"{(ode.dt or dt) * tscale:.3e} ns")
     write_transient_tables(iodata, sop, post_dir, rows)
     if eta2_steps:
         write_error_indicators(post_dir, eta2_steps, energies)

@@ -299,3 +299,94 @@ def test_transient_sdirk23_driver_smoke(tmp_path):
     scale = np.abs(a).max()
     assert scale > 0 and np.isfinite(b).all()
     assert np.abs(a - b).max() < 5e-2 * scale, np.abs(a - b).max() / scale
+
+
+class _VecOscillator(_ScalarOscillator):
+    """Array-state oscillator with the M-solve `mult` hook AdaptiveBDF needs
+    (M = 1 here)."""
+
+    def mult(self, u1, u2, t):
+        return self.rhs(u1, u2, t), u1
+
+
+def _ref_oscillator(op, t_end=1.0):
+    from scipy.integrate import solve_ivp
+
+    return solve_ivp(
+        lambda t, y: [op.rhs(y[0], y[1], t), y[0]], (0.0, t_end), [0.0, 0.0],
+        rtol=1e-12, atol=1e-14).y[:, -1]
+
+
+def test_arkode_adaptive_tolerance():
+    """AdaptiveSDIRK (Type "ARKODE", timeoperator.cpp:331-355) controls the
+    local error: tightening RelTol reduces the global error and loosening it
+    reduces the step count."""
+    from palace_tpu.drivers.transient import AdaptiveSDIRK
+
+    op = _VecOscillator()
+    ref = _ref_oscillator(op)
+    out = {}
+    for rtol in (1e-3, 1e-6):
+        ode = AdaptiveSDIRK(op, rtol, 1e-12)
+        x = (np.zeros(1), np.zeros(1), np.zeros(1))
+        t = 0.0
+        for i in range(1, 11):
+            x, t = ode.advance(x, t, 0.1 * i, 0.05)
+        err = abs(float(x[0][0]) - ref[0]) + abs(float(x[1][0]) - ref[1])
+        out[rtol] = (err, ode.n_steps)
+    assert out[1e-6][0] < out[1e-3][0]
+    assert out[1e-3][1] < out[1e-6][1]
+    assert out[1e-6][0] < 1e-4, out
+    # adaptivity actually coarsens: the embedded order-1 estimate gives
+    # dt ~ sqrt(tol) (conservative), far fewer steps than the tight run
+    assert out[1e-3][1] < 900, out
+
+
+def test_cvode_bdf2_adaptive():
+    """AdaptiveBDF (Type "CVODE", timeoperator.cpp:356-373): variable-step
+    BDF2 hits the reference trajectory under the WRMS controller."""
+    from palace_tpu.drivers.transient import AdaptiveBDF
+
+    op = _VecOscillator()
+    ref = _ref_oscillator(op)
+    out = {}
+    for rtol in (1e-3, 1e-6):
+        ode = AdaptiveBDF(op, rtol, 1e-12, order=2)
+        x = (np.zeros(1), np.zeros(1), np.zeros(1))
+        t = 0.0
+        for i in range(1, 11):
+            x, t = ode.advance(x, t, 0.1 * i, 0.05)
+        err = abs(float(x[0][0]) - ref[0]) + abs(float(x[1][0]) - ref[1])
+        out[rtol] = (err, ode.n_steps)
+    assert out[1e-6][0] < out[1e-3][0]
+    assert out[1e-3][1] < out[1e-6][1]
+    assert out[1e-6][0] < 3e-4, out
+
+
+def test_transient_adaptive_driver_smoke(tmp_path):
+    """ARKODE and CVODE schemes run through the transient driver and track
+    the Generalized-alpha solution on a short window."""
+    from palace_tpu.api import run
+
+    sols = {}
+    for name, extra in (("GeneralizedAlpha", {}),
+                        ("ARKODE", {"RelTol": 1e-6, "AbsTol": 1e-12}),
+                        ("CVODE", {"RelTol": 1e-6, "AbsTol": 1e-12,
+                                   "Order": 2})):
+        path = make_case(str(tmp_path), {"Type": "Transient"}, {
+            "Transient": dict(Type=name,
+                              Excitation="ModulatedGaussian",
+                              ExcitationFreq=10.0, ExcitationWidth=0.08,
+                              MaxTime=0.06, TimeStep=0.002, **extra),
+            "Linear": {"Tol": 1e-10, "MaxIts": 300},
+        })
+        res = run(path, output_dir=str(tmp_path / f"out_{name}"))
+        sols[name] = np.array([r["ports"][2]["V"] for r in res["rows"]])
+    a = sols["GeneralizedAlpha"]
+    scale = np.abs(a).max()
+    assert scale > 0
+    for name in ("ARKODE", "CVODE"):
+        b = sols[name]
+        assert np.isfinite(b).all()
+        assert np.abs(a - b).max() < 5e-2 * scale, (
+            name, np.abs(a - b).max() / scale)
