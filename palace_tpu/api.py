@@ -39,6 +39,11 @@ def run(config_path: str, output_dir: str | None = None, dry_run: bool = False):
 
     configure_platform(iodata.solver.device)
 
+    from palace_tpu.fem.operators import QuadraturePolicy
+
+    QuadraturePolicy.set(iodata.solver.quadrature_order_jac,
+                         iodata.solver.quadrature_order_extra)
+
     from palace_tpu.drivers import get_driver
     from palace_tpu.utils import timers
 

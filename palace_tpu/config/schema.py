@@ -866,7 +866,9 @@ class LinearSolverConfig:
 class SolverConfig:
     order: int = 1
     partial_assembly_order: int = 1
-    quadrature_order_jac: bool = True
+    # Reference default is q_order_jac = FALSE (utils/configfile.hpp:1077):
+    # plain q = 2p, under-integrating curved elements.
+    quadrature_order_jac: bool = False
     quadrature_order_extra: int = 0
     device: str = "CPU"
     electrostatic: ElectrostaticSolverConfig = field(
@@ -888,7 +890,7 @@ class SolverConfig:
         out = SolverConfig(
             order=int(node.get_value("Order", 1)),
             partial_assembly_order=int(node.get_value("PartialAssemblyOrder", 1)),
-            quadrature_order_jac=bool(node.get_value("QuadratureOrderJacobian", True)),
+            quadrature_order_jac=bool(node.get_value("QuadratureOrderJacobian", False)),
             quadrature_order_extra=int(node.get_value("QuadratureOrderExtra", 0)),
             device=str(node.get_value("Device", "CPU")),
         )

@@ -17,20 +17,61 @@ from palace_tpu.mesh import geometry
 from palace_tpu.ops.partial import BucketTables, PAOperator
 
 
+class QuadraturePolicy:
+    """Global default-integration-order policy, mirroring the reference's
+    static fem::DefaultIntegrationOrder (palace/fem/integrator.hpp:20-34)
+    initialized from config["Solver"] (iodata.cpp:599-602):
+
+        q = 2 p + (jac ? order(|J|) : 0) + extra
+
+    The reference's config DEFAULT is q_order_jac = FALSE
+    (utils/configfile.hpp:1077) — every committed regression reference was
+    generated with plain q = 2 p, which under-integrates curved
+    (geo_order > 1) elements; matching those CSVs therefore requires the
+    same rule.  Overridable per-run from config
+    Solver/QuadratureOrder{Jacobian,Extra} (api.run) or the
+    PALACE_TPU_QORDER_JAC / PALACE_TPU_QORDER_EXTRA env vars."""
+
+    jac: bool = False
+    extra: int = 0
+
+    @classmethod
+    def set(cls, jac: bool, extra: int) -> None:
+        cls.jac = bool(jac)
+        cls.extra = int(extra)
+
+
+def _env_policy():
+    import os
+
+    j = os.environ.get("PALACE_TPU_QORDER_JAC")
+    e = os.environ.get("PALACE_TPU_QORDER_EXTRA")
+    if j is not None:
+        QuadraturePolicy.jac = j not in ("0", "false", "False", "")
+    if e is not None:
+        QuadraturePolicy.extra = int(e)
+
+
+_env_policy()
+
+
 def default_qorder(p: int, geo_order: int, geom, extra: int = 0) -> int:
-    """Quadrature order exact for 2 p + order(|J|) + extra (reference:
-    palace/fem/integrator.hpp:20-34, integrator.cpp DefaultIntegrationOrder:
-    order(|J|) follows MFEM's IsoparametricTransformation::OrderW():
-    dim (g - 1) on simplices, dim g - 1 on tensor-product elements)."""
+    """Quadrature order exact for 2 p (+ order(|J|) when the policy asks,
+    + extra) (reference: palace/fem/integrator.hpp:20-34, integrator.cpp
+    DefaultIntegrationOrder: order(|J|) follows MFEM's
+    IsoparametricTransformation::OrderW(): dim (g - 1) on simplices,
+    dim g - 1 on tensor-product elements)."""
     from palace_tpu.fem.reference import GEOM_DIM, Geom
 
-    g = geo_order
-    dim = GEOM_DIM[geom]
-    if geom in (Geom.LINE, Geom.TRI, Geom.TET):
-        ow = dim * max(g - 1, 0)
-    else:
-        ow = dim * g - 1
-    return 2 * p + ow + extra
+    ow = 0
+    if QuadraturePolicy.jac:
+        g = geo_order
+        dim = GEOM_DIM[geom]
+        if geom in (Geom.LINE, Geom.TRI, Geom.TET):
+            ow = dim * max(g - 1, 0)
+        else:
+            ow = dim * g - 1
+    return 2 * p + ow + extra + QuadraturePolicy.extra
 
 
 def h1_operator(
