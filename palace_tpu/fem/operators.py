@@ -35,6 +35,20 @@ class QuadraturePolicy:
     jac: bool = False
     extra: int = 0
 
+    # With jac = False, simplices STILL get the exact-|J| degree dim (g-1)
+    # added: on simplices detJ is a polynomial of exactly that degree, so
+    # 2p + dim (g-1) integrates the mass integrand exactly, and measured
+    # parity on the curved-tet corpus cases is 6e-8..4e-6 with it vs
+    # 1.0e-4..1.5e-4 with plain 2p (MFEM's minimal simplex rules at
+    # order 2p integrate these near-polynomial integrands to ~1e-6 —
+    # closer to exact than to our order-2p Grundmann-Moller points, so
+    # exactness reproduces the reference better than matching the nominal
+    # order).  Tensor-product elements use plain 2p: Gauss tensor rules of
+    # a given order are unique, so our points then coincide with MFEM's
+    # and the curved-hex cases match the committed CSVs to 1e-7 (they were
+    # 0.8-3.2% off with the |J|-augmented order).
+    simplex_exact_jac: bool = True
+
     @classmethod
     def set(cls, jac: bool, extra: int) -> None:
         cls.jac = bool(jac)
@@ -64,13 +78,13 @@ def default_qorder(p: int, geo_order: int, geom, extra: int = 0) -> int:
     from palace_tpu.fem.reference import GEOM_DIM, Geom
 
     ow = 0
+    g = geo_order
+    dim = GEOM_DIM[geom]
+    simplex = geom in (Geom.LINE, Geom.TRI, Geom.TET)
     if QuadraturePolicy.jac:
-        g = geo_order
-        dim = GEOM_DIM[geom]
-        if geom in (Geom.LINE, Geom.TRI, Geom.TET):
-            ow = dim * max(g - 1, 0)
-        else:
-            ow = dim * g - 1
+        ow = dim * max(g - 1, 0) if simplex else dim * g - 1
+    elif simplex and QuadraturePolicy.simplex_exact_jac:
+        ow = dim * max(g - 1, 0)
     return 2 * p + ow + extra + QuadraturePolicy.extra
 
 
