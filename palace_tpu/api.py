@@ -39,10 +39,11 @@ def run(config_path: str, output_dir: str | None = None, dry_run: bool = False):
 
     configure_platform(iodata.solver.device)
 
-    from palace_tpu.fem.operators import QuadraturePolicy
+    from palace_tpu.fem.operators import QuadraturePolicy, _env_policy
 
     QuadraturePolicy.set(iodata.solver.quadrature_order_jac,
                          iodata.solver.quadrature_order_extra)
+    _env_policy()  # PALACE_TPU_QORDER_* env vars win over config
 
     from palace_tpu.drivers import get_driver
     from palace_tpu.utils import timers

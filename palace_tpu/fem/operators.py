@@ -46,7 +46,8 @@ class QuadraturePolicy:
     # order).  Tensor-product elements use plain 2p: Gauss tensor rules of
     # a given order are unique, so our points then coincide with MFEM's
     # and the curved-hex cases match the committed CSVs to 1e-7 (they were
-    # 0.8-3.2% off with the |J|-augmented order).
+    # 0.8-3.2% off with the |J|-augmented order).  Strict reference 2p
+    # behavior on simplices: PALACE_TPU_SIMPLEX_EXACT_JAC=0.
     simplex_exact_jac: bool = True
 
     @classmethod
@@ -55,15 +56,24 @@ class QuadraturePolicy:
         cls.extra = int(extra)
 
 
+def _truthy(s: str) -> bool:
+    return s.strip().lower() not in ("0", "false", "no", "off", "")
+
+
 def _env_policy():
+    """Apply the PALACE_TPU_QORDER_* env overrides.  Precedence: env beats
+    config — api.run calls this again AFTER QuadraturePolicy.set(config)."""
     import os
 
     j = os.environ.get("PALACE_TPU_QORDER_JAC")
     e = os.environ.get("PALACE_TPU_QORDER_EXTRA")
+    s = os.environ.get("PALACE_TPU_SIMPLEX_EXACT_JAC")
     if j is not None:
-        QuadraturePolicy.jac = j not in ("0", "false", "False", "")
+        QuadraturePolicy.jac = _truthy(j)
     if e is not None:
         QuadraturePolicy.extra = int(e)
+    if s is not None:
+        QuadraturePolicy.simplex_exact_jac = _truthy(s)
 
 
 _env_policy()
