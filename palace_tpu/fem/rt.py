@@ -193,6 +193,12 @@ class RTSpace:
         self._bases = {}
         all_keys, shapes = [], []
         sign_blocks: List[Optional[np.ndarray]] = []
+        geoms = {b.geom for b in mesh.buckets}
+        if Geom.PRISM in geoms and len(geoms) > 1:
+            # Prism face keys would alias tet tri-face / hex quad-face
+            # variants built from different functional bases.
+            raise NotImplementedError(
+                "RT space on mixed prism + other-geometry meshes")
         for bi, b in enumerate(mesh.buckets):
             if b.geom is Geom.HEX:
                 from palace_tpu.fem import rt_hex
@@ -204,9 +210,18 @@ class RTSpace:
                 shapes.append((E, nd))
                 sign_blocks.append(signs)
                 continue
+            if b.geom is Geom.PRISM:
+                from palace_tpu.fem import rt_prism
+
+                corners = mesh.topo_ids(b.corners).astype(np.int64)
+                keys, signs = rt_prism.prism_rt_keys_signs(k, corners, bi)
+                E, nd = signs.shape
+                all_keys.append(keys.reshape(E * nd, 7))
+                shapes.append((E, nd))
+                sign_blocks.append(None)
+                continue
             if b.geom not in (Geom.TET, Geom.TRI):
-                raise NotImplementedError(
-                    f"RT space on {b.geom} (prism tensor RT not implemented)")
+                raise NotImplementedError(f"RT space on {b.geom}")
             basis = rt_basis_simplex(b.geom, k)
             self._bases[b.geom] = basis
             corners = mesh.topo_ids(b.corners).astype(np.int64)
@@ -261,4 +276,8 @@ class RTSpace:
             from palace_tpu.fem import rt_hex
 
             return rt_hex.hex_rt_eval(self.k, np.asarray(pts, float))
+        if geom is Geom.PRISM:
+            from palace_tpu.fem import rt_prism
+
+            return rt_prism.prism_rt_eval(self.k, np.asarray(pts, float))
         return self._bases[geom].eval(np.asarray(pts, float))
