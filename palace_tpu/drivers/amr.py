@@ -74,14 +74,38 @@ def refine_marked(mesh: Mesh, marked: np.ndarray) -> Mesh:
     return local_edge_split(mesh, edges)
 
 
-def adapt_loop(iodata: IoData, mesh: Mesh, solve_and_estimate):
+def archive_iteration(post_dir: str, it: int, max_it: int) -> None:
+    """Copy the current postprocessing outputs into post_dir/iterationNN
+    before the next AMR solve overwrites them (reference:
+    palace/drivers/basesolver.cpp:224-229 SaveIteration /
+    utils/filesystem.cpp — width 1 + floor(log10(max_it)))."""
+    import math
+    import os
+    import shutil
+
+    files = [n for n in os.listdir(post_dir)
+             if os.path.isfile(os.path.join(post_dir, n))]
+    if not files:
+        return  # driver writes tables after the loop: nothing to archive
+    width = 1 + int(math.log10(max(max_it, 1)))
+    dst = os.path.join(post_dir, f"iteration{it:0{width}d}")
+    os.makedirs(dst, exist_ok=True)
+    for name in files:
+        shutil.copy2(os.path.join(post_dir, name), dst)
+
+
+def adapt_loop(iodata: IoData, mesh: Mesh, solve_and_estimate,
+               post_dir: str | None = None):
     """Generic solve-estimate-mark-refine loop.
 
     `solve_and_estimate(mesh)` returns (result, eta2_steps, energies,
     num_dofs); iterates while the combined relative indicator exceeds
     Refinement.Tol, up to Refinement.MaxIts adaptation steps (0 = AMR off)
-    and Refinement.MaxSize dofs.  Returns (result, eta_elem, eta_norm,
-    mesh, n_iterations)."""
+    and Refinement.MaxSize dofs.  When `post_dir` is given and
+    Refinement.SaveAdaptIterations is set, each superseded iteration's
+    output tables are archived under post_dir/iterationNN (reference:
+    basesolver.cpp SaveIteration); SaveAdaptMesh writes each adapted mesh.
+    Returns (result, eta_elem, eta_norm, mesh, n_iterations)."""
     from palace_tpu.drivers.common import print_log
 
     cfg = iodata.model.refinement
@@ -92,6 +116,8 @@ def adapt_loop(iodata: IoData, mesh: Mesh, solve_and_estimate):
         if (it >= cfg.max_it or eta_norm <= cfg.tol
                 or (cfg.max_size > 0 and ndof >= cfg.max_size)):
             return result, eta_elem, eta_norm, mesh, it
+        if post_dir is not None and cfg.save_adapt_iterations:
+            archive_iteration(post_dir, it + 1, cfg.max_it)
         marked = dorfler_mark(eta_elem**2, cfg.update_fraction)
         ne = mesh.num_elements
         try:
@@ -102,6 +128,13 @@ def adapt_loop(iodata: IoData, mesh: Mesh, solve_and_estimate):
                       f"(error {eta_norm:.3e}): {e}")
             return result, eta_elem, eta_norm, mesh, it
         it += 1
+        if post_dir is not None and cfg.save_adapt_mesh:
+            import os
+
+            from palace_tpu.mesh import gmsh_write
+
+            gmsh_write.write(mesh, os.path.join(post_dir,
+                                                f"amr-mesh-{it}.msh"))
         print_log(iodata,
                   f"AMR iteration {it}: error {eta_norm:.3e} > {cfg.tol:.1e},"
                   f" marked {len(marked)} elements "

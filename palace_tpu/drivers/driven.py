@@ -200,13 +200,44 @@ def _masked_energy(sop: SpaceOperator, op, x, attrs) -> float:
 
 
 def solve(iodata: IoData, output_dir: str | None = None):
-    from palace_tpu.post import metadata
+    """Driven solve with the reference's solve-estimate-mark-refine AMR
+    wrapper when Model/Refinement/MaxIts > 0 (reference:
+    palace/drivers/basesolver.cpp:160-288 SolveEstimateMarkRefine around
+    drivensolver.cpp)."""
     from palace_tpu.utils import timers
 
     t0 = time.time()
     with timers.block("Mesh preprocessing"):
         mesh = prepare_mesh(iodata)
     post_dir = make_output_dir(iodata, output_dir)
+    cfg = iodata.model.refinement
+    if cfg.max_it <= 0:
+        result, _, _ = _solve_on_mesh(iodata, mesh, post_dir)
+    else:
+        if max(int(iodata.solver.driven.restart), 1) > 1:
+            raise ValueError('"Restart" is incompatible with AMR')
+        from palace_tpu.drivers.amr import adapt_loop
+        from palace_tpu.mesh.mesh import canonicalize_simplices
+
+        def solve_and_estimate(m):
+            canonicalize_simplices(m)
+            res, eta2_steps, energies = _solve_on_mesh(iodata, m, post_dir)
+            return res, eta2_steps, energies, res["num_dofs"]
+
+        result, _, eta_norm, mesh, n_adapt = adapt_loop(
+            iodata, mesh, solve_and_estimate, post_dir=post_dir)
+        print_log(iodata, f"AMR finished after {n_adapt} iterations "
+                          f"(indicator norm {eta_norm:.3e})")
+    print_log(iodata, f"driven done in {time.time() - t0:.1f}s")
+    return result
+
+
+def _solve_on_mesh(iodata: IoData, mesh, post_dir: str):
+    """One full driven sweep + postprocessing on a fixed mesh; returns
+    (result dict, eta2 indicator steps, step energies) for the AMR loop."""
+    from palace_tpu.post import metadata
+    from palace_tpu.utils import timers
+
     units = iodata.units
 
     with timers.block("Operator construction"):
@@ -347,9 +378,9 @@ def solve(iodata: IoData, output_dir: str | None = None):
     ksp_info = getattr(sweep_uniform_device, "_last_info", None) or {}
     metadata.save_solver(post_dir, len(sols), ksp_info.get("total_its", 0))
     metadata.save_timing(post_dir)
-    print_log(iodata, f"driven done in {time.time() - t0:.1f}s")
-    return dict(post_dir=post_dir, num_dofs=sop.space.num_dofs,
-                freqs_ghz=freqs_ghz, measurements=measurements)
+    return (dict(post_dir=post_dir, num_dofs=sop.space.num_dofs,
+                 freqs_ghz=freqs_ghz, measurements=measurements),
+            eta2_steps, energies)
 
 
 #: dof count above which "Default" selects the device iterative path over

@@ -322,8 +322,8 @@ def solve(iodata: IoData, output_dir: str | None = None):
     from palace_tpu.drivers.amr import adapt_loop
 
     ((sop, Kcsr, Ccsr, Mcsr, omega, vecs, res, bkwd),
-     eta_elem, eta_norm, mesh, n_adapt) = adapt_loop(iodata, mesh,
-                                                     solve_and_estimate)
+     eta_elem, eta_norm, mesh, n_adapt) = adapt_loop(
+         iodata, mesh, solve_and_estimate, post_dir=post_dir)
     space = sop.space
 
     ghz = units.scale_factor(ValueType.FREQUENCY)

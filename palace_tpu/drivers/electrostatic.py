@@ -80,7 +80,7 @@ def solve(iodata: IoData, output_dir: str | None = None):
         return (lap, V, its), eta2, en, space.num_dofs
 
     (lap, V, its), eta_elem, eta_norm, mesh, n_adapt = adapt_loop(
-        iodata, mesh, solve_and_estimate)
+        iodata, mesh, solve_and_estimate, post_dir=post_dir)
     space = lap.space
     terminals = sorted(lap.terminals.keys())
     n = len(terminals)

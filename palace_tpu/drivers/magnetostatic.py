@@ -28,32 +28,49 @@ from palace_tpu.post.tables import Column, Table, index_column
 
 
 def solve(iodata: IoData, output_dir: str | None = None):
+    """Magnetostatic solve inside the reference's AMR wrapper when
+    Model/Refinement/MaxIts > 0 (reference: basesolver.cpp
+    SolveEstimateMarkRefine around magnetostaticsolver.cpp)."""
     t0 = time.time()
     mesh = prepare_mesh(iodata)
+    from palace_tpu.drivers.amr import adapt_loop
+    from palace_tpu.fem.estimators import curl_flux_indicators
     from palace_tpu.mesh.mesh import canonicalize_simplices
 
-    canonicalize_simplices(mesh)
     post_dir = make_output_dir(iodata, output_dir)
     units = iodata.units
 
-    cc = CurlCurlOperator.build(iodata, mesh)
-    space = cc.space
-    print_log(iodata, f"magnetostatic: {space.num_dofs} dofs, "
-                      f"{mesh.num_elements} elements")
+    def solve_and_estimate(m):
+        canonicalize_simplices(m)
+        cc = CurlCurlOperator.build(iodata, m)
+        print_log(iodata, f"magnetostatic: {cc.space.num_dofs} dofs, "
+                          f"{m.num_elements} elements")
+        sources = sorted(cc.sources.keys())
+        A: Dict[int, np.ndarray] = {}
+        its = []
+        for idx in sources:
+            b = cc.excitation(idx)
+            x, it = solve_spd(iodata, cc.Keli, cc.K, b, cc.ess_mask)
+            its.append(it)
+            A[idx] = np.asarray(x)
+            print_log(iodata, f"  source {idx}: {it} CG iterations")
+        # Curl-flux indicators on B = curl A per source, normalized by the
+        # source's magnetic energy (reference: magnetostaticsolver.cpp:96
+        # CurlFluxErrorEstimator::AddErrorIndicator(B, total energy)).
+        KA = {i: np.asarray(cc.K(jnp.asarray(A[i]))) for i in sources}
+        eta2 = [curl_flux_indicators(cc.space, cc.materials, A[i])
+                for i in sources]
+        en = [0.5 * float(A[i] @ KA[i]) for i in sources]
+        return (cc, A, its, KA, eta2, en), eta2, en, cc.space.num_dofs
 
+    ((cc, A, its, KA, eta2_steps, energies), _, _, mesh,
+     n_adapt) = adapt_loop(iodata, mesh, solve_and_estimate,
+                           post_dir=post_dir)
+    space = cc.space
     sources = sorted(cc.sources.keys())
     n = len(sources)
-    A: Dict[int, np.ndarray] = {}
-    its = []
-    for idx in sources:
-        b = cc.excitation(idx)
-        x, it = solve_spd(iodata, cc.Keli, cc.K, b, cc.ess_mask)
-        its.append(it)
-        A[idx] = np.asarray(x)
-        print_log(iodata, f"  source {idx}: {it} CG iterations")
 
     # Inductance matrix M_ij = A_j^T K A_i (unit currents).
-    KA = {i: np.asarray(cc.K(jnp.asarray(A[i]))) for i in sources}
     M = np.zeros((n, n))
     for a_, i in enumerate(sources):
         for b_, j in enumerate(sources):
@@ -93,14 +110,6 @@ def solve(iodata: IoData, output_dir: str | None = None):
     _write_domain_energy(iodata, post_dir, cc, sources, A)
     _write_probe_B(iodata, post_dir, space, sources, A)
     _write_surface_flux(iodata, post_dir, space, sources, A)
-    # Curl-flux indicators on B = curl A per source, normalized by the
-    # source's magnetic energy (reference: magnetostaticsolver.cpp:96
-    # CurlFluxErrorEstimator::AddErrorIndicator(B, total_domain_energy)).
-    from palace_tpu.fem.estimators import curl_flux_indicators
-
-    eta2_steps = [curl_flux_indicators(space, cc.materials, A[i])
-                  for i in sources]
-    energies = [0.5 * float(A[i] @ KA[i]) for i in sources]
     write_error_indicators(post_dir, eta2_steps, energies)
 
     print_log(iodata, f"magnetostatic done in {time.time() - t0:.1f}s")

@@ -336,6 +336,12 @@ def solve(iodata: IoData, output_dir: str | None = None):
     post_dir = make_output_dir(iodata, output_dir)
     units = iodata.units
     cfg = iodata.solver.transient
+    if iodata.model.refinement.max_it > 0:
+        # Reference parity: basesolver.cpp:163-169 warns and disables AMR
+        # for transient simulations.
+        print_log(iodata,
+                  "WARNING: AMR is not currently supported for transient "
+                  "simulations!")
 
     sop = SpaceOperator(iodata, mesh)
     if sop._conductivity:

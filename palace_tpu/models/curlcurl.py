@@ -81,8 +81,9 @@ class CurlCurlOperator:
             else:
                 entries = [dict(attributes=sc.attributes, direction=sc.direction)]
             for e in entries:
-                d = np.asarray(e["direction"], float)
-                d = d / np.linalg.norm(d)
+                from palace_tpu.models.lumpedport import direction_vector
+
+                d = direction_vector(e["direction"], mesh.nodes.shape[1])
                 _, w = uniform_element_geometry(mesh, e["attributes"], d)
                 elems.append(dict(attributes=e["attributes"], direction=d, width=w))
             sources[sc.index] = SurfaceCurrentSource(sc.index, elems)

@@ -32,6 +32,20 @@ def _port_nodes(mesh: Mesh, attrs) -> np.ndarray:
     return np.concatenate(pts)
 
 
+def direction_vector(d, sdim: int) -> np.ndarray:
+    """Keyword ("+X"/"-Z"/...) or explicit vector direction -> unit vector
+    (reference: utils/configfile.cpp ParseElementData keyword directions)."""
+    if isinstance(d, str):
+        s = d.strip().upper()
+        sign = -1.0 if s.startswith("-") else 1.0
+        axis = {"X": 0, "Y": 1, "Z": 2}[s[-1]]
+        vec = np.zeros(sdim)
+        vec[axis] = sign
+        return vec
+    vec = np.asarray(d, float)[:sdim]
+    return vec / np.linalg.norm(vec)
+
+
 def _surface_area(mesh: Mesh, attrs, qorder: int = 4) -> float:
     from palace_tpu.mesh import geometry
 

@@ -100,3 +100,69 @@ def test_eigen_amr_converges(tmp_path):
     e0 = abs(run(0) - f_exact)
     e2 = abs(run(3) - f_exact)
     assert e2 < 0.7 * e0
+
+
+def test_driven_amr_loop(tmp_path):
+    """Driven sweep under AMR (reference: basesolver.cpp wraps the driven
+    solver in SolveEstimateMarkRefine): the loop runs, refines, archives
+    the superseded iteration, and still writes the full table set."""
+    import palace_tpu
+
+    eta0 = 376.730313412
+    mesh = box_tet(3, 3, 3, lx=10.0, ly=10.0, lz=10.0)
+    gmsh_write.write(mesh, str(tmp_path / "box.msh"))
+    cfg = {
+        "Problem": {"Type": "Driven", "Verbose": 0, "Output": "out"},
+        "Model": {"Mesh": "box.msh", "L0": 1.0e-3,
+                  "Refinement": {"Tol": 1e-12, "MaxIts": 1,
+                                 "UpdateFraction": 0.4}},
+        "Domains": {"Materials": [{"Attributes": [1], "Permittivity": 2.0,
+                                   "LossTan": 0.01}]},
+        "Boundaries": {
+            "PEC": {"Attributes": [5, 6]},
+            "LumpedPort": [
+                {"Index": 1, "Attributes": [1], "R": eta0, "Direction": "+Z",
+                 "Excitation": True},
+                {"Index": 2, "Attributes": [2], "R": eta0,
+                 "Direction": "+Z"}]},
+        "Solver": {"Order": 1,
+                   "Driven": {"MinFreq": 8.0, "MaxFreq": 8.0, "FreqStep": 1.0},
+                   "Linear": {"Tol": 1e-10, "MaxIts": 500}},
+    }
+    p = tmp_path / "c.json"
+    p.write_text(json.dumps(cfg))
+    r = palace_tpu.run(str(p), output_dir=str(tmp_path / "out"))
+    out = tmp_path / "out"
+    assert (out / "port-S.csv").exists()
+    assert (out / "error-indicators.csv").exists()
+    # Superseded iteration archived (SaveAdaptIterations default true).
+    assert (out / "iteration1" / "port-S.csv").exists()
+
+
+def test_magnetostatic_amr_loop(tmp_path):
+    """Magnetostatic AMR wiring: loop runs and the inductance matrix stays
+    finite and symmetric."""
+    import palace_tpu
+
+    mesh = box_tet(2, 2, 2, sheet_j=1)  # current sheet at y = 0.5 (attr 7)
+    gmsh_write.write(mesh, str(tmp_path / "box.msh"))
+    cfg = {
+        "Problem": {"Type": "Magnetostatic", "Verbose": 0, "Output": "out"},
+        "Model": {"Mesh": "box.msh", "L0": 1.0e-3,
+                  "Refinement": {"Tol": 1e-12, "MaxIts": 1,
+                                 "UpdateFraction": 0.4}},
+        "Domains": {"Materials": [{"Attributes": [1], "Permeability": 1.0}]},
+        "Boundaries": {
+            "SurfaceCurrent": [{"Index": 1, "Attributes": [7],
+                                "Direction": "+X"}],
+            "PEC": {"Attributes": [1, 2, 3, 4]},
+        },
+        "Solver": {"Order": 1, "Magnetostatic": {"Save": 0},
+                   "Linear": {"Tol": 1e-10, "MaxIts": 1000}},
+    }
+    p = tmp_path / "c.json"
+    p.write_text(json.dumps(cfg))
+    r = palace_tpu.run(str(p), output_dir=str(tmp_path / "out"))
+    M = r["M"]
+    assert np.all(np.isfinite(M))
+    assert (tmp_path / "out" / "terminal-M.csv").exists()
