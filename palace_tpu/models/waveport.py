@@ -82,10 +82,29 @@ class WavePortData:
         conn3d = connfull[:, :ncorner]
         self.conn3d = conn3d
         self.fgeom = fgeom
-        # Triangular ports are rebuilt straight-sided from corners (the
-        # simplex path canonicalizes + inverts affinely); quad ports keep
-        # their full curved geometry and the facet parametrization.
-        if fgeom is Geom.TRI:
+        # Straight triangular ports are rebuilt from corners (affine
+        # inversion); genuinely curved tri ports (mid-edge nodes off the
+        # edge midpoints, e.g. the adapter's ridged port rim,
+        # adapter/hybrid.json attr 3) keep the full isoparametric geometry —
+        # flattening them perturbs the port domain and biases kn(omega),
+        # which skews damped eigenfrequencies near cutoff.  Quad ports
+        # always keep their curved geometry.
+        if fgeom is Geom.TRI and fgorder > 1:
+            dev = 0.0
+            # Gmsh tri6/tri10 edge k = (0,1), (1,2), (2,0); first 3
+            # higher-order nodes are the corresponding mid-edge nodes.
+            for k, (a, c) in enumerate(((0, 1), (1, 2), (2, 0))):
+                mid = 0.5 * (mesh.nodes[connfull[:, a]]
+                             + mesh.nodes[connfull[:, c]])
+                el = np.linalg.norm(mesh.nodes[connfull[:, a]]
+                                    - mesh.nodes[connfull[:, c]], axis=1)
+                dev = max(dev, float((np.linalg.norm(
+                    mesh.nodes[connfull[:, ncorner + k]] - mid, axis=1)
+                    / np.maximum(el, 1e-300)).max()))
+            if dev < 1e-10:
+                connfull = conn3d
+                fetype, fgorder = 2, 1
+        elif fgeom is Geom.TRI:
             connfull = conn3d
             fetype, fgorder = 2, 1
 
@@ -363,7 +382,7 @@ class WavePortData:
         xq2 = np.einsum("fqs,sr->fqr", tr.xq - self.origin,
                         np.stack([self.t1, self.t2], axis=1))
         geom = b.geom
-        if geom is Geom.TRI:
+        if geom is Geom.TRI and b.geo_order == 1:
             # Reference coords in each (straight) 2D triangle.
             X = mesh2.nodes[b.corners]  # (F, 3, 2)
             v0 = X[:, 0]
@@ -372,11 +391,12 @@ class WavePortData:
             xi = np.einsum("frs,fqs->fqr", Ja, xq2 - v0[:, None, :])
             Jinv = np.broadcast_to(Ja[:, None], (nfac, nq, 2, 2))
         else:
-            # Curved quads: Newton-invert the isoparametric map per facet,
-            # with the per-point inverse Jacobian for the transforms.
+            # Curved quads/tris: Newton-invert the isoparametric map per
+            # facet, with the per-point inverse Jacobian for the transforms.
             gb = ref.gmsh_geometry_basis(b.etype)
             Xn = mesh2.nodes[b.conn]  # (F, nn, 2)
-            xi = np.full((nfac, nq, 2), 0.5)
+            xi0 = 1.0 / 3.0 if geom is Geom.TRI else 0.5
+            xi = np.full((nfac, nq, 2), xi0)
             for _ in range(25):
                 Jq = None
                 resid = 0.0

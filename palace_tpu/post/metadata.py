@@ -64,4 +64,10 @@ def save_timing(post_dir: str):
         k.replace(" ", ""): v.get("MemoryGrowthMB", 0.0)
         for k, v in rep.items() if "MemoryGrowthMB" in v
     }
+    # Peak per-node host + device memory (reference:
+    # memoryreporting.cpp GetPeakMemoryStats/GetPeakNodeMemoryStats written
+    # via BaseSolver::SaveMetadata).
+    # getattr: stay import-order tolerant (a long-running process may hold
+    # an older utils.timers module without memory_stats).
+    meta["MemoryMegabytes"] = getattr(timers, "memory_stats", dict)()
     _write(post_dir, meta)

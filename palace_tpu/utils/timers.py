@@ -48,6 +48,44 @@ def _rss_mb() -> float:
         return 0.0
 
 
+def memory_stats() -> Dict[str, float]:
+    """Process + device memory snapshot for the palace.json metadata (the
+    analog of the reference's GetPeakMemoryStats / GetPeakNodeMemoryStats,
+    palace/utils/memoryreporting.cpp:175-188; here one process per node, so
+    per-rank peak = per-node peak, plus per-device HBM from the PJRT
+    allocator which the reference has no equivalent of)."""
+    out: Dict[str, float] = {"HostCurrentMB": round(_rss_mb(), 3)}
+    try:
+        with open("/proc/self/status") as f:
+            for line in f:
+                if line.startswith("VmHWM:"):
+                    out["HostPeakMB"] = round(int(line.split()[1]) / 1e3, 3)
+                    break
+    except Exception:
+        pass
+    try:
+        import jax
+
+        in_use = peak = limit = 0.0
+        n = 0
+        for d in jax.devices():
+            ms = d.memory_stats() or {}
+            if not ms:
+                continue
+            n += 1
+            in_use += ms.get("bytes_in_use", 0)
+            peak += ms.get("peak_bytes_in_use", 0)
+            limit += ms.get("bytes_limit", 0)
+        if n:
+            out["DeviceInUseMB"] = round(in_use / 1e6, 3)
+            out["DevicePeakMB"] = round(peak / 1e6, 3)
+            if limit:
+                out["DeviceLimitMB"] = round(limit / 1e6, 3)
+    except Exception:
+        pass
+    return out
+
+
 class Timer:
     def __init__(self):
         self.times: Dict[str, float] = {}
