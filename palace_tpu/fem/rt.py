@@ -104,6 +104,13 @@ class RTBasisSimplex:
                              pts)
         return np.einsum("fg,qgd->qfd", self.coeff, G)
 
+    def eval_div(self, pts: np.ndarray) -> np.ndarray:
+        """(npts, nfn) reference divergences (physical via ./detJ)."""
+        pts = np.asarray(pts, float)
+        D = _eval_generating_div(self.geom, self.k, self.exps_pk,
+                                 self.exps_hom, pts)
+        return np.einsum("fg,qg->qf", self.coeff, D)
+
 
 def _eval_generating(geom, k, exps_pk, exps_hom, pts) -> np.ndarray:
     """(npts, ngen, dim) values of the generating set."""
@@ -120,6 +127,26 @@ def _eval_generating(geom, k, exps_pk, exps_hom, pts) -> np.ndarray:
         for d in range(dim):
             G[:, dim * nA:, d] = mh * pts[:, d][:, None]
     return G
+
+
+def _eval_generating_div(geom, k, exps_pk, exps_hom, pts) -> np.ndarray:
+    """(npts, ngen) divergences of the generating set: div(m e_d) = d_d m,
+    div(x m_hom) = (dim + |b|) m_hom."""
+    dim = pts.shape[1]
+    nA = len(exps_pk)
+    npts = len(pts)
+    ngen = dim * nA + len(exps_hom)
+    D = np.zeros((npts, ngen))
+    for d in range(dim):
+        e = exps_pk.copy()
+        coef = e[:, d].astype(float)
+        e2 = e.copy()
+        e2[:, d] = np.maximum(e2[:, d] - 1, 0)
+        D[:, d * nA:(d + 1) * nA] = coef[None, :] * _eval_mono(e2, pts)
+    if len(exps_hom):
+        deg = exps_hom.sum(axis=1).astype(float)
+        D[:, dim * nA:] = (dim + deg)[None, :] * _eval_mono(exps_hom, pts)
+    return D
 
 
 def _facets(geom: Geom):
@@ -281,3 +308,18 @@ class RTSpace:
 
             return rt_prism.prism_rt_eval(self.k, np.asarray(pts, float))
         return self._bases[geom].eval(np.asarray(pts, float))
+
+    def div_tables(self, geom: Geom, pts: np.ndarray) -> np.ndarray:
+        """(nq, nd) reference divergences (physical div = ./detJ under the
+        signed Piola map)."""
+        if geom is Geom.HEX:
+            from palace_tpu.fem import rt_hex
+
+            return rt_hex.hex_rt_eval_div(self.k, np.asarray(pts, float))
+        if geom is Geom.PRISM:
+            from palace_tpu.fem import rt_prism
+
+            return rt_prism.prism_rt_eval_div(self.k, np.asarray(pts, float))
+        if geom not in self._bases:
+            self._bases[geom] = rt_basis_simplex(geom, self.k)
+        return self._bases[geom].eval_div(np.asarray(pts, float))

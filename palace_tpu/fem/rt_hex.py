@@ -63,6 +63,22 @@ def hex_rt_eval(k: int, pts: np.ndarray) -> np.ndarray:
     return V
 
 
+def hex_rt_eval_div(k: int, pts: np.ndarray) -> np.ndarray:
+    """(nq, nd) reference divergences: div(n_i(x_d) m_j m_l e_d)
+    = n'_i(x_d) m_j m_l."""
+    n1, m1 = _rt_ladders(k)
+    pts = np.asarray(pts, float)
+    nq = len(pts)
+    dN = [n1.deriv(pts[:, a]) for a in range(3)]
+    M = [m1.eval(pts[:, a]) for a in range(3)]
+    dofs = hex_rt_dofs(k)
+    D = np.zeros((nq, len(dofs)))
+    for t, (d, i, j, l) in enumerate(dofs):
+        o = [a for a in range(3) if a != d]
+        D[:, t] = dN[d][:, i] * M[o[0]][:, j] * M[o[1]][:, l]
+    return D
+
+
 @functools.lru_cache(maxsize=None)
 def _hex_face_corners():
     face_corners = {}

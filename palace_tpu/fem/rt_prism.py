@@ -99,6 +99,27 @@ def prism_rt_eval(k: int, pts: np.ndarray) -> np.ndarray:
     return V
 
 
+def prism_rt_eval_div(k: int, pts: np.ndarray) -> np.ndarray:
+    """(nq, nd) reference divergences: div((w q, 0)) = div2(w) q,
+    div((0, 0, u n)) = u n'."""
+    pts = np.asarray(pts, float)
+    nq = len(pts)
+    xy, z = pts[:, :2], pts[:, 2]
+    tri = rt_basis_simplex(Geom.TRI, k)
+    Dt = tri.eval_div(xy)  # (nq, nt)
+    U = _eval_mono(_mono_exps(2, k), xy)
+    mlad, nlad = _ladders(k)
+    M, dN = mlad.eval(z), nlad.deriv(z)
+    layout = prism_rt_layout(k)
+    D = np.zeros((nq, len(layout)))
+    for n, (fam, m, j) in enumerate(layout):
+        if fam == "ip":
+            D[:, n] = Dt[:, m] * M[:, j]
+        else:
+            D[:, n] = U[:, m] * dN[:, j]
+    return D
+
+
 def prism_rt_keys_signs(k: int, corners: np.ndarray, bucket_id: int
                         ) -> Tuple[np.ndarray, np.ndarray]:
     """Global keys (E, nd, 7) and unit signs (E, nd) for an
