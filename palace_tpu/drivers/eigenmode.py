@@ -106,7 +106,18 @@ def solve(iodata: IoData, output_dir: str | None = None):
 
             try:
                 h1 = H1Space(sop.mesh, iodata.solver.order)
-                G = nd_h1_gradient(space, h1)
+                G = nd_h1_gradient(space, h1).tocsr()
+                # Constrain the auxiliary H1 space on every lossy/port
+                # boundary (reference: spaceoperator.cpp:193-204
+                # aux_bdr_marker): only gradients vanishing on damped
+                # surfaces satisfy g^H C x = 0, so only they may be
+                # projected out of the damped pencil without corrupting
+                # its spectrum.
+                aux = sop.aux_bdr_attrs()
+                if aux:
+                    bdr = np.asarray(h1.boundary_dofs(aux), np.int64)
+                    keep_h1 = np.setdiff1d(np.arange(G.shape[1]), bdr)
+                    G = G[:, keep_h1].tocsr()
                 divfree = (G, sop._csr(sop._combine(sop.M_re, [])))
             except (NotImplementedError, RuntimeError):
                 divfree = None
@@ -130,13 +141,36 @@ def solve(iodata: IoData, output_dir: str | None = None):
                             Kcsr.data) else Kcsr
                         Mre = Mcsr.real if np.iscomplexobj(
                             Mcsr.data) else Mcsr
+                        k_seed = min(nev + 8, Kcsr.shape[0] // 4)
                         seed = shift_invert_eigs(
                             Kre.tocsr(), Mre.tocsr(), ess, omega_t ** 2,
-                            min(nev + 8, Kcsr.shape[0] // 4),
-                            tol=min(cfg.tol, 1e-9))
+                            k_seed, tol=min(cfg.tol, 1e-9))
+                        X0 = seed.eigenvectors
+                        # Strong damping (e.g. near-PEC impedance walls,
+                        # 1/Rs >> omega): the true modes approach the
+                        # PEC-wall modes, which are orthogonal to the
+                        # natural-BC seed above.  Union in a second seed
+                        # with the damped-surface dofs held at zero so the
+                        # projection subspace covers both regimes.
+                        cd = np.abs(np.asarray(Ccsr.diagonal()))
+                        damped = np.where(cd > 1e-12 * cd.max())[0] \
+                            if cd.max() > 0 else np.zeros(0, np.int64)
+                        md = np.abs(np.asarray(Mcsr.diagonal()))[damped]
+                        strong = (len(damped) and np.median(
+                            cd[damped] / np.maximum(omega_t * md.real,
+                                                    1e-300)) > 10.0)
+                        if strong:
+                            ess2 = np.union1d(ess, damped)
+                            if len(ess2) < Kcsr.shape[0] - 4 * k_seed:
+                                seed2 = shift_invert_eigs(
+                                    Kre.tocsr(), Mre.tocsr(), ess2,
+                                    omega_t ** 2, k_seed,
+                                    tol=min(cfg.tol, 1e-9))
+                                X0 = np.concatenate(
+                                    [X0, seed2.eigenvectors], axis=1)
                         result = quadratic_eigs_jd(
                             Kcsr, Ccsr, Mcsr, ess, 1j * omega_t, nev + 4,
-                            seed.eigenvectors, tol=cfg.tol,
+                            X0, tol=cfg.tol,
                             divfree=divfree,
                             log=lambda s: print_log(iodata, s))
                     except Exception as e:

@@ -332,10 +332,16 @@ def quadratic_eigs_jd(
                       [np.zeros((k, k)), Mp]])
         lam_all, Z = sla.eig(A, B)
         finite = np.isfinite(lam_all)
-        # Physical branch: lam = i omega with Re(omega) = Im(lam) > 0.
-        phys = finite & (np.imag(lam_all) > 1e-8 * abs(sigma))
-        if phys.sum() < nev:
-            phys = finite
+        # Physical branch: lam = i omega with Re(omega) = Im(lam) > 0, and
+        # away from the gradient-nullspace cluster at lam ~ 0 (whose tiny
+        # K-residuals would otherwise "converge" instantly and hand the
+        # caller nothing but modes its Re(omega) filter drops).
+        phys = (finite & (np.imag(lam_all) > 1e-8 * abs(sigma))
+                & (np.abs(lam_all) > 1e-6 * abs(sigma)))
+        if phys.sum() == 0:
+            log("  quadratic JD: no physical Ritz values in the projected "
+                "pencil — seed subspace misses the damped modes")
+            return None
         idx = np.where(phys)[0]
         idx = idx[np.argsort(np.abs(lam_all[idx] - sigma))][:nev]
         lam = lam_all[idx]
@@ -351,12 +357,13 @@ def quadratic_eigs_jd(
                       + np.abs(lam) ** 2 * Mnorm)
         log(f"  quadratic JD: round {rnd + 1} dim {k}, "
             f"max bkwd {bkwd.max():.2e}")
-        best = (lam, X, res, bkwd)
+        if best is None or bkwd.max() < best[3].max():
+            best = (lam, X, res, bkwd)
         if bkwd.max() <= tol:
             break
         if rnd == max_rounds - 1 or (rnd > 3
                                      and bkwd.max() > 0.5 * prev_max_bkwd):
-            return None  # stagnated; let the caller fall back
+            break  # stagnated; polish the best snapshot below
         prev_max_bkwd = bkwd.max()
         # Expand with preconditioned residuals of unconverged pairs.
         T = []
@@ -376,7 +383,57 @@ def quadratic_eigs_jd(
             V = np.concatenate([X, np.stack(T, axis=1)], axis=1)
         V, _ = np.linalg.qr(V)
 
+    if best is None:
+        return None
     lam, X, res, bkwd = best
+    if bkwd.max() > tol:
+        # Per-pair quadratic Rayleigh-quotient polish: the subspace rounds
+        # stall around 1e-5 on strongly non-normal pencils (expansion
+        # directions crowd the Ritz selection), but each pair is already in
+        # the basin where inverse iteration with exact refactorization
+        # converges quadratically.  One splu per step is cheap at the
+        # assembled sizes this path handles.
+        if bkwd.max() > 1e-2:
+            return None  # nowhere near; let the caller fall back
+        lam = lam.copy()
+        X = X.copy()
+        res = res.copy()
+        bkwd = bkwd.copy()
+        for i in range(len(lam)):
+            li, xi = lam[i], X[:, i]
+            for _ in range(8):
+                Ti = (Kr + li * Cr + li * li * Mr).tocsc()
+                ri = Ti @ xi
+                nrm = np.linalg.norm(ri) / (Knorm + abs(li) * Cnorm
+                                            + abs(li) ** 2 * Mnorm)
+                if nrm <= 0.5 * tol:
+                    break
+                try:
+                    lui = spla.splu(Ti)
+                except RuntimeError:
+                    break  # exactly singular: converged
+                y = lui.solve((Cr + 2.0 * li * Mr) @ xi)
+                ny = np.linalg.norm(y)
+                if not np.isfinite(ny) or ny == 0:
+                    break
+                xi = y / ny
+                if project is not None:
+                    xi = project(xi)
+                    xi = xi / np.linalg.norm(xi)
+                # Rayleigh update: root of x^H T(lam) x closest to lam.
+                a = np.vdot(xi, Mr @ xi)
+                b = np.vdot(xi, Cr @ xi)
+                c = np.vdot(xi, Kr @ xi)
+                roots = np.roots([a, b, c])
+                li = roots[np.argmin(np.abs(roots - li))]
+            Ti = Kr @ xi + li * (Cr @ xi) + li * li * (Mr @ xi)
+            res[i] = np.linalg.norm(Ti)
+            bkwd[i] = res[i] / (Knorm + abs(li) * Cnorm
+                                + abs(li) ** 2 * Mnorm)
+            lam[i], X[:, i] = li, xi
+        log(f"  quadratic JD: RQI polish -> max bkwd {bkwd.max():.2e}")
+        if bkwd.max() > tol:
+            return None
     order = np.argsort(np.abs(lam - sigma))
     lam, X = lam[order], X[:, order]
     res, bkwd = res[order], bkwd[order]
