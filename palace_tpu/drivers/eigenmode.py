@@ -133,7 +133,13 @@ def solve(iodata: IoData, output_dir: str | None = None):
                 # seed to converge (reference: SLEPc PEP/TOAR,
                 # drivers/eigensolver.cpp:98-155).
                 result = None
-                if attempt == 0:
+                # Retry the JD fast path once with doubled seeds before
+                # conceding to the slow companion ARPACK: the seed pencils
+                # deliver one lossless mode per vector, so when the junk
+                # filter leaves fewer than the n requested physical pairs
+                # (keep-count below), a 2x seed almost always covers the
+                # deficit at a fraction of ARPACK's cost.
+                if attempt <= 1:
                     try:
                         from palace_tpu.linalg.eig import quadratic_eigs_jd
 
@@ -141,7 +147,8 @@ def solve(iodata: IoData, output_dir: str | None = None):
                             Kcsr.data) else Kcsr
                         Mre = Mcsr.real if np.iscomplexobj(
                             Mcsr.data) else Mcsr
-                        k_seed = min(nev + 8, Kcsr.shape[0] // 4)
+                        k_seed = min((nev + 8) << attempt,
+                                     Kcsr.shape[0] // 4)
                         seed = shift_invert_eigs(
                             Kre.tocsr(), Mre.tocsr(), ess, omega_t ** 2,
                             k_seed, tol=min(cfg.tol, 1e-9))
@@ -169,8 +176,8 @@ def solve(iodata: IoData, output_dir: str | None = None):
                                 X0 = np.concatenate(
                                     [X0, seed2.eigenvectors], axis=1)
                         result = quadratic_eigs_jd(
-                            Kcsr, Ccsr, Mcsr, ess, 1j * omega_t, nev + 4,
-                            X0, tol=cfg.tol,
+                            Kcsr, Ccsr, Mcsr, ess, 1j * omega_t,
+                            nev + 4 + 8 * attempt, X0, tol=cfg.tol,
                             divfree=divfree,
                             log=lambda s: print_log(iodata, s))
                     except Exception as e:

@@ -27,6 +27,13 @@ class EigResult:
     backward_errors: np.ndarray  # (k,) residual / (||K|| + |lambda| ||M||)
 
 
+def _det_v0(n: int) -> np.ndarray:
+    """Deterministic ARPACK starting vector (scipy defaults to a random
+    one, which makes solver paths — and their seed-quality-dependent
+    fallback decisions — vary run to run)."""
+    return np.cos(0.7 * np.arange(n)) + 0.1
+
+
 def _eigs_partial_ok(op, nev, which, tol, maxiter):
     """ARPACK with graceful partial convergence: heavily damped pencils
     (e.g. p = 4 prism + impedance boundaries) can exhaust the restart
@@ -34,7 +41,8 @@ def _eigs_partial_ok(op, nev, which, tol, maxiter):
     converged instead of burning hours (the caller's retry loop expands the
     subspace if too few survive its filters)."""
     try:
-        return spla.eigs(op, k=nev, which=which, tol=tol, maxiter=maxiter)
+        return spla.eigs(op, k=nev, which=which, tol=tol, maxiter=maxiter,
+                         v0=_det_v0(op.shape[0]).astype(complex))
     except spla.ArpackNoConvergence as e:
         if len(e.eigenvalues) == 0:
             raise
@@ -76,6 +84,7 @@ def shift_invert_eigs(
         vals, vecs = spla.eigsh(
             Kr, k=nev, M=Mr, sigma=sigma, which="LM", tol=tol,
             maxiter=max_it or max(1000, 40 * nev),
+            v0=_det_v0(Kr.shape[0]),
         )
     else:
         # General shift-invert Arnoldi: OP = (K - sigma M)^-1 M.
@@ -333,14 +342,22 @@ def quadratic_eigs_jd(
         lam_all, Z = sla.eig(A, B)
         finite = np.isfinite(lam_all)
         # Physical branch: lam = i omega with Re(omega) = Im(lam) > 0, and
-        # away from the gradient-nullspace cluster at lam ~ 0 (whose tiny
-        # K-residuals would otherwise "converge" instantly and hand the
-        # caller nothing but modes its Re(omega) filter drops).
-        phys = (finite & (np.imag(lam_all) > 1e-8 * abs(sigma))
+        # away from the gradient-nullspace/overdamped clusters (whose tiny
+        # K-residuals "converge" instantly, crowd the nev Ritz slots, and
+        # hand the caller modes its Re(omega) > 1e-3 omega_t filter drops —
+        # which then falls back to the hours-long companion ARPACK).  Use
+        # the same 1e-3 threshold as the caller: overdamped spurious modes
+        # are pure-real lam whose Im is roundoff noise (up to ~1e-11 |lam|),
+        # far below 1e-3 |sigma|; physical resonances sit at Im lam ~
+        # |sigma|, far above.
+        phys = (finite & (np.imag(lam_all) > 1e-3 * abs(sigma))
                 & (np.abs(lam_all) > 1e-6 * abs(sigma)))
         if phys.sum() == 0:
+            fin = lam_all[finite]
             log("  quadratic JD: no physical Ritz values in the projected "
-                "pencil — seed subspace misses the damped modes")
+                f"pencil (|Im lam| max {np.abs(np.imag(fin)).max():.2e} vs "
+                f"threshold {1e-3 * abs(sigma):.2e}) — seed subspace misses "
+                "the damped modes")
             return None
         idx = np.where(phys)[0]
         idx = idx[np.argsort(np.abs(lam_all[idx] - sigma))][:nev]
@@ -356,6 +373,7 @@ def quadratic_eigs_jd(
         bkwd = res / (Knorm + np.abs(lam) * Cnorm
                       + np.abs(lam) ** 2 * Mnorm)
         log(f"  quadratic JD: round {rnd + 1} dim {k}, "
+            f"{len(lam)}/{int(phys.sum())} selected/physical, "
             f"max bkwd {bkwd.max():.2e}")
         if best is None or bkwd.max() < best[3].max():
             best = (lam, X, res, bkwd)
