@@ -50,8 +50,16 @@ def combine_indicators(eta2_steps: Sequence[np.ndarray],
 
 
 def refine_marked(mesh: Mesh, marked: np.ndarray) -> Mesh:
-    """Split the longest edge of every marked element (global element ids
-    across domain buckets, in bucket concatenation order)."""
+    """Refine the marked elements (global element ids across domain
+    buckets, in bucket concatenation order): hexes via nonconforming 1->8
+    isotropic refinement (mesh/refine_hex.py, hanging constraints handled
+    by fem/hanging.py), simplices via conforming longest-edge bisection."""
+    from palace_tpu.fem.reference import Geom
+
+    if all(b.geom is Geom.HEX for b in mesh.buckets):
+        from palace_tpu.mesh.refine_hex import refine_hexes
+
+        return refine_hexes(mesh, np.asarray(marked))
     offsets = np.cumsum([0] + [b.num_elem for b in mesh.buckets])
     edges: List[Tuple[int, int]] = []
     seen = set()

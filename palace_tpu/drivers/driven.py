@@ -215,7 +215,11 @@ def solve(iodata: IoData, output_dir: str | None = None):
         result, _, _ = _solve_on_mesh(iodata, mesh, post_dir)
     else:
         if max(int(iodata.solver.driven.restart), 1) > 1:
-            raise ValueError('"Restart" is incompatible with AMR')
+            # Reference style: warn for incompatible options and continue
+            # with the option disabled rather than aborting the solve.
+            print_log(iodata, 'WARNING: "Restart" is incompatible with AMR; '
+                              "restarting the sweep from the first sample")
+            iodata.solver.driven.restart = 1
         from palace_tpu.drivers.amr import adapt_loop
         from palace_tpu.mesh.mesh import canonicalize_simplices
 
@@ -401,12 +405,17 @@ def use_device_ksp(iodata, num_dofs: int) -> bool:
 
 def sweep_uniform(iodata, sop: SpaceOperator, omegas, excitations, skip=0
                   ) -> Dict[Tuple[int, int], np.ndarray]:
+    from palace_tpu.utils import provenance
+
     sweep_uniform_device._last_info = None
     if use_device_ksp(iodata, sop.space.num_dofs) and not sop.floquet_ports:
         try:
             sols = sweep_uniform_device(iodata, sop, omegas, excitations,
                                         skip=skip)
             info = sweep_uniform_device._last_info or {}
+            provenance.record("solver_path", "device")
+            provenance.record("ksp_iterations",
+                              int(info.get("total_its", 0)))
             # Accept only converged solves: a stalled FGMRES (seen on
             # curved-hex wave-port systems) returns a plausible-looking but
             # few-percent-wrong field — re-solve direct instead of shipping
@@ -428,12 +437,15 @@ def sweep_uniform(iodata, sop: SpaceOperator, omegas, excitations, skip=0
                               f"column(s) above {gate:.1e} (max relres "
                               f"{worst:.2e}); re-solving those with the "
                               "sparse-direct path")
+            provenance.record("solver_path",
+                              f"device+fallback-{len(bad)}-columns")
             redo = _direct_resolve_columns(iodata, sop, omegas, bad)
             sols.update(redo)
             return sols
         except Exception as e:  # pragma: no cover - robustness fallback
             print_log(iodata, f"  device ksp failed ({e!r}); "
                               "falling back to sparse-direct sweep")
+    provenance.record("solver_path", "direct")
     return sweep_uniform_direct(iodata, sop, omegas, excitations, skip=skip)
 
 

@@ -256,7 +256,13 @@ def sweep_adaptive(iodata, sop: SpaceOperator, omegas, excitations,
         return _dev["solver"]
 
     def solve_hdm(omega, ex):
+        from palace_tpu.utils import provenance
+
+        provenance.record("solver_path", "prom-adaptive")
         solver = _device_solver()
+        provenance.record(
+            "prom_hdm_path",
+            "device" if solver is not False else "direct")
         if solver is not False:
             if omega not in _dev["omega_idx"]:
                 _dev["omega_idx"][omega] = solver.add_omega(omega)
@@ -269,6 +275,7 @@ def sweep_adaptive(iodata, sop: SpaceOperator, omegas, excitations,
                 return X[:, 0]
             print_log(iodata, "  PROM: device HDM solve not converged; "
                               "sparse-direct fallback for this sample")
+            provenance.add("prom_hdm_direct_fallbacks", 1)
         lu = splu_nd(assemble(omega).tocsc(), coords)
         return lu.solve(rhs(ex, omega))
 

@@ -28,6 +28,7 @@ from palace_tpu.drivers.common import (
 from palace_tpu.linalg.eig import quadratic_eigs, shift_invert_eigs
 from palace_tpu.models.spaceoperator import SpaceOperator
 from palace_tpu.post.tables import Column, Table, index_column
+from palace_tpu.utils import provenance
 
 
 def solve(iodata: IoData, output_dir: str | None = None):
@@ -184,7 +185,9 @@ def solve(iodata: IoData, output_dir: str | None = None):
                         print_log(iodata, f"quadratic JD fast path "
                                           f"unavailable ({e!r})")
                         result = None
-                if result is None:
+                if result is not None:
+                    provenance.record("eigen_path", "quadratic-jd")
+                else:
                     # cfg.tol is the user's declaration tolerance verbatim
                     # (the default is already 1e-6; strongly non-normal
                     # pencils converge much faster there, but an explicitly
@@ -194,6 +197,7 @@ def solve(iodata: IoData, output_dir: str | None = None):
                     result = quadratic_eigs(Kcsr, Ccsr, Mcsr, ess,
                                             1j * omega_t, k_req,
                                             tol=cfg.tol, divfree=divfree)
+                    provenance.record("eigen_path", "quadratic-arpack")
                 omega = -1j * result.eigenvalues  # lam = i omega
             else:
                 from palace_tpu.drivers.driven import use_device_ksp
@@ -214,11 +218,13 @@ def solve(iodata: IoData, output_dir: str | None = None):
                         sop.ess_mask, omega_t ** 2, k_req, tol=cfg.tol,
                         nconv=min(k_req, cfg.n + 4),
                         log=lambda s: print_log(iodata, s))
+                    provenance.record("eigen_path", "device-lanczos")
                 else:
                     result = shift_invert_eigs(
                         Kcsr, Mcsr, ess, omega_t ** 2, k_req, tol=cfg.tol,
                         which=("LR" if sop.K_flo_mass is not None
                                else "LM"))
+                    provenance.record("eigen_path", "host-arpack")
                 omega = np.sqrt(result.eigenvalues.astype(complex))
             keep = (np.real(omega) > max(1e-8, 1e-3 * abs(omega_t)))
             if sop.K_flo_mass is not None:

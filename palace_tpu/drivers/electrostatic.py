@@ -54,12 +54,43 @@ def solve(iodata: IoData, output_dir: str | None = None):
         terminals = sorted(lap.terminals.keys())
         V: Dict[int, np.ndarray] = {}
         its = []
-        for idx in terminals:
-            xbc, b = lap.excitation(idx)
-            x, it = solve_spd(iodata, lap.Keli, lap.K, b, lap.ess_mask)
-            its.append(it)
-            V[idx] = np.asarray(x)
-            print_log(iodata, f"  terminal {idx}: {it} CG iterations")
+        # Nonconforming (hex-AMR) meshes: solve in the constrained true-dof
+        # space x = P x_t (reference: MFEM conforming prolongation inside
+        # rap.hpp:18-39; here P comes from fem/hanging.py).
+        from palace_tpu.fem.hanging import h1_hanging_matrix
+
+        P, true_idx = h1_hanging_matrix(space, m)
+        if P is not None:
+            from scipy.sparse.linalg import splu
+
+            from palace_tpu.utils import provenance
+
+            A = lap.K.assemble_csr().tocsr()
+            At = (P.T @ A @ P).tolil()
+            ess_t = np.asarray(lap.ess_mask, bool)[true_idx]
+            At[ess_t, :] = 0.0
+            At[:, ess_t] = 0.0
+            At[ess_t, ess_t] = 1.0
+            lu = splu(At.tocsc())
+            provenance.record("solver_path", "direct-nonconforming")
+            for idx in terminals:
+                xbc, _ = lap.excitation(idx)
+                xbc_t = np.asarray(xbc)[true_idx]
+                r = -(P.T @ (A @ (P @ xbc_t)))
+                r[ess_t] = 0.0
+                x_t = lu.solve(r)
+                x_t[ess_t] = 0.0
+                V[idx] = P @ (x_t + xbc_t)
+                its.append(1)
+                print_log(iodata, f"  terminal {idx}: direct NC solve "
+                                  f"({len(true_idx)} true dofs)")
+        else:
+            for idx in terminals:
+                xbc, b = lap.excitation(idx)
+                x, it = solve_spd(iodata, lap.Keli, lap.K, b, lap.ess_mask)
+                its.append(it)
+                V[idx] = np.asarray(x)
+                print_log(iodata, f"  terminal {idx}: {it} CG iterations")
         # Grad-flux indicators on E = -grad V interpolated into the ND space
         # (reference: electrostaticsolver.cpp:77-86 — E in ND via the
         # discrete gradient, GradFluxErrorEstimator with RT_{p-1} recovery).

@@ -101,17 +101,33 @@ def device_shift_invert_eigs(
     """Eigenvalues of K x = lam M x nearest sigma (K/M real symmetric,
     M SPD), K_tables/M_tables the (gidx, A) element tables.  Matches the
     semantics of linalg/eig.py shift_invert_eigs, computed on device."""
+    import jax
+
     log = log or (lambda s: None)
     n = space.num_dofs
     nconv = min(nev, nconv if nconv is not None else nev)
     F = min(n, max(nev // 2 + block_extra, 6))
     terms = [Term("K", K_tables, coef=lambda s: 1.0 + 0.0j),
              Term("M", M_tables, coef=lambda s: -complex(s))]
-    solver = BlockedDeviceSolver(
-        space, pec_attrs, terms, [sigma], np.asarray(ess_mask),
+    kw = dict(
         tol=(inner_tol if inner_tol is not None else max(1e-12, 0.01 * tol)),
         max_its=200, restart=30, max_block=min(F, 8),
         log=log, **(mg_opts or {}))
+    if jax.device_count() > 1:
+        # Multi-chip: ride the dof-sharded FGMRES + p-MG over the
+        # ("cells",) device mesh (reference analog: the eigensolver's inner
+        # shift-invert solves are uniformly distributed, rap.hpp:124,
+        # eigensolver.cpp:98-155).  The block Lanczos recurrence itself is
+        # host-orchestrated either way; only the O(n) kernels shard.
+        from palace_tpu.linalg.device_ksp_sharded import (
+            ShardedBlockedDeviceSolver)
+
+        kw.pop("structured", None)
+        solver = ShardedBlockedDeviceSolver(
+            space, pec_attrs, terms, [sigma], np.asarray(ess_mask), **kw)
+    else:
+        solver = BlockedDeviceSolver(
+            space, pec_attrs, terms, [sigma], np.asarray(ess_mask), **kw)
     eK = np.array([1.0, 0.0])
     eM = np.array([0.0, 1.0])
     applyK = lambda X: np.asarray(solver.apply_fine(eK, X))  # noqa: E731

@@ -359,6 +359,10 @@ def quadratic_eigs_jd(
                 f"threshold {1e-3 * abs(sigma):.2e}) — seed subspace misses "
                 "the damped modes")
             return None
+        if phys.sum() < nev:
+            log(f"  quadratic JD: only {int(phys.sum())}/{nev} physical "
+                "Ritz values in the projected pencil (threshold "
+                f"{1e-3 * abs(sigma):.2e}) — proceeding with fewer")
         idx = np.where(phys)[0]
         idx = idx[np.argsort(np.abs(lam_all[idx] - sigma))][:nev]
         lam = lam_all[idx]
@@ -443,6 +447,8 @@ def quadratic_eigs_jd(
                 b = np.vdot(xi, Cr @ xi)
                 c = np.vdot(xi, Kr @ xi)
                 roots = np.roots([a, b, c])
+                if len(roots) == 0:
+                    break  # x^H M x and x^H C x both vanished; keep lam
                 li = roots[np.argmin(np.abs(roots - li))]
             Ti = Kr @ xi + li * (Cr @ xi) + li * li * (Mr @ xi)
             res[i] = np.linalg.norm(Ti)

@@ -133,6 +133,7 @@ class CaseResult:
     seconds: float = 0.0
     files: List[FileResult] = field(default_factory=list)
     error: str = ""
+    solver: dict = field(default_factory=dict)  # provenance snapshot
 
     @property
     def max_rel(self) -> float:
@@ -153,6 +154,7 @@ class CaseResult:
                 for f in self.files
             },
             "error": self.error,
+            "solver": self.solver,
         }
 
 
@@ -494,6 +496,8 @@ def run_case(spec: CaseSpec, out_root: str) -> CaseResult:
     """Run one case end-to-end and diff against its reference tree."""
     from palace_tpu import api
 
+    from palace_tpu.utils import provenance
+
     out_dir = os.path.join(out_root, spec.name)
     t0 = time.time()
     eff = spec
@@ -501,6 +505,7 @@ def run_case(spec: CaseSpec, out_root: str) -> CaseResult:
         mr = _eigen_max_rows(spec.config_path())
         if mr is not None:
             eff = CaseSpec(**{**spec.__dict__, "max_rows": mr})
+    provenance.reset()
     try:
         api.run(spec.config_path(), output_dir=out_dir)
         res = diff_tree(out_dir, eff)
@@ -517,6 +522,7 @@ def run_case(spec: CaseSpec, out_root: str) -> CaseResult:
     except Exception:
         res = CaseResult(spec.name, status="error",
                          error=traceback.format_exc(limit=12))
+    res.solver = provenance.snapshot()
     res.seconds = time.time() - t0
     return res
 
