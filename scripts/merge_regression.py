@@ -1,45 +1,51 @@
 #!/usr/bin/env python
-"""Merge per-case regression JSON snapshots into the main REGRESSION.json.
+"""Merge per-case sweep results into REGRESSION.json without dropping
+entries.
 
-Usage: python scripts/merge_regression.py partial1.json [partial2.json ...]
+The snapshot must always record every case's latest-known outcome
+(including failures); re-running a subset must update only those entries.
+Each merged entry gets a `measured_round` tag naming the round that
+produced the numbers, so stale records are visible.
 
-Each partial file is a list of case summaries (the format
-scripts/run_regression.py writes). Entries replace same-name entries in
-REGRESSION.json (new cases are appended in the canonical CASES order).
+Usage:
+  python scripts/merge_regression.py RESULTS.json [--round r5]
+                                     [--into REGRESSION.json]
 """
 
 from __future__ import annotations
 
+import argparse
 import json
-import os
-import sys
 
-sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-from palace_tpu.testing.regression import CASES
+def merge(into_path: str, results_path: str, round_tag: str) -> int:
+    base = json.load(open(into_path))
+    fresh = json.load(open(results_path))
+    by_name = {r["name"]: i for i, r in enumerate(base)}
+    n = 0
+    for r in fresh:
+        r = dict(r)
+        r["measured_round"] = round_tag
+        if r["name"] in by_name:
+            base[by_name[r["name"]]] = r
+        else:
+            base.append(r)
+        n += 1
+    with open(into_path, "w") as fh:
+        json.dump(base, fh, indent=1)
+    return n
 
 
 def main() -> int:
-    root = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..")
-    main_path = os.path.join(root, "REGRESSION.json")
-    by_name = {}
-    if os.path.exists(main_path):
-        for r in json.load(open(main_path)):
-            by_name[r["name"]] = r
-    for path in sys.argv[1:]:
-        for r in json.load(open(path)):
-            old = by_name.get(r["name"])
-            by_name[r["name"]] = r
-            print(f"{r['name']}: {old['status'] if old else '(new)'} -> "
-                  f"{r['status']} (max_rel {r['max_rel']:.2e})")
-    order = {n: i for i, n in enumerate(CASES)}
-    merged = sorted(by_name.values(), key=lambda r: order.get(r["name"], 99))
-    with open(main_path, "w") as fh:
-        json.dump(merged, fh, indent=1)
-    n_pass = sum(r["status"] == "pass" for r in merged)
-    print(f"wrote {main_path}: {n_pass}/{len(merged)} pass")
+    ap = argparse.ArgumentParser()
+    ap.add_argument("results")
+    ap.add_argument("--round", default="r5")
+    ap.add_argument("--into", default="REGRESSION.json")
+    args = ap.parse_args()
+    n = merge(args.into, args.results, args.round)
+    print(f"merged {n} case(s) into {args.into} (tag {args.round})")
     return 0
 
 
 if __name__ == "__main__":
-    sys.exit(main())
+    raise SystemExit(main())
