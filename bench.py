@@ -192,9 +192,7 @@ def bench_unstructured(on_tpu, bw, peaks, budget):
     space, op, nnz = _unstructured_setup(on_tpu)
     N = space.num_dofs
     t = op._tables[0]
-    gidx, perm, seg = t["gidx"], op._scatter_tree["perm"], \
-        op._scatter_tree["seg_ids"]
-    E, nd = gidx.shape
+    gidx = t["gidx"]
 
     # rows: (tag, compute dtype, complex-as-real-pair?, n complex/real
     # vectors, iters, est. cost in s, exempt-from-budget?)
@@ -205,16 +203,14 @@ def bench_unstructured(on_tpu, bw, peaks, budget):
     else:
         rows = [("complex128", jnp.complex128, False, 2, 3, 30.0, True),
                 ("float32", jnp.float32, False, 4, 3, 30.0, False)]
-    gidx_j = jnp.asarray(np.asarray(gidx))
-    perm_j = jnp.asarray(np.asarray(perm))
-    seg_j = jnp.asarray(np.asarray(seg))
     headline = None
     for name, dtype, pair, B, iters, est, exempt in rows:
       if not exempt and not budget.admit(f"unstructured {name}", est):
           continue
       t_row = time.time()
       try:
-        A = jnp.asarray(np.asarray(t["A"], dtype))
+        from palace_tpu.linalg.device_ksp import ElemTermOperator, Term
+
         ncol = 2 * B if pair else B  # real-pair: [Re | Im] column block
         is_c = jnp.issubdtype(dtype, jnp.complexfloating)
         key = jax.random.PRNGKey(0)
@@ -226,12 +222,22 @@ def bench_unstructured(on_tpu, bw, peaks, budget):
         else:
             U = jax.random.normal(key, (N, ncol), dtype)
 
+        # THE production apply object (device_ksp.ElemTermOperator: grouped
+        # gather -> batched element matmul -> grouped sorted segment-sum),
+        # exactly what the blocked device FGMRES calls each iteration.
+        term = Term("ka", [(np.asarray(gidx),
+                            np.asarray(t["A"], np.float64))],
+                    coef=lambda w: 1.0)
+        eto = ElemTermOperator([term], N)
+        eto._entries = [(ti, gi, Ai.astype(dtype if not is_c else
+                                           jnp.float64))
+                        for ti, gi, Ai in eto._entries]
+        coefs = jnp.ones((1, ncol),
+                         jnp.float32 if dtype == jnp.float32 else
+                         jnp.float64)
+
         def blocked_apply(u):
-            ul = u[gidx_j]
-            vl = jnp.einsum("enm,emb->enb", A, ul)
-            return jax.ops.segment_sum(vl.reshape(-1, ncol)[perm_j], seg_j,
-                                       num_segments=N,
-                                       indices_are_sorted=True)
+            return eto(coefs, u)
 
         dt = _measure(blocked_apply, U, iters) / B
         gdofs = N / dt / 1e9

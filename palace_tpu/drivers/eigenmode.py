@@ -25,7 +25,8 @@ from palace_tpu.config import IoData, ValueType
 from palace_tpu.drivers.common import (
     make_output_dir, prepare_mesh, print_log, write_error_indicators,
 )
-from palace_tpu.linalg.eig import quadratic_eigs, shift_invert_eigs
+from palace_tpu.linalg.eig import (quadratic_eigs, quadratic_eigs_jd,
+                                   shift_invert_eigs)
 from palace_tpu.models.spaceoperator import SpaceOperator
 from palace_tpu.post.tables import Column, Table, index_column
 from palace_tpu.utils import provenance
@@ -292,13 +293,26 @@ def solve(iodata: IoData, output_dir: str | None = None):
             M0 = sop.mass_csr()
             for i in range(len(omega)):
                 om = omega[i]
+                x = vecs[:, i]
+                rr = j = None
                 for _ in range(12):
                     A2f = funcA2(float(np.real(om)))
                     Kf = (K0 + A2f).tocsr()
                     Cf = (C0 + 0 * A2f).tocsr() if C0 is not None else \
                         (0 * A2f).tocsr()
-                    rr = quadratic_eigs(Kf, Cf, M0, ess, 1j * om, 4,
-                                        tol=cfg.tol)
+                    # Seeded subspace solve (1 factorization, 1-2 rounds):
+                    # the current eigenpair is already in the quadratic
+                    # basin, so the JD projection converges immediately —
+                    # a full companion-ARPACK re-solve per fixed-point
+                    # iteration (the old path) dominated the nonlinear
+                    # eigen wall-clock (cpw_wave_eigen timed out at 2700s).
+                    rr = quadratic_eigs_jd(
+                        Kf, Cf, M0, ess, 1j * om, 1, x[:, None],
+                        tol=max(cfg.tol, 1e-10), max_rounds=6,
+                        log=lambda s: print_log(iodata, s))
+                    if rr is None:
+                        rr = quadratic_eigs(Kf, Cf, M0, ess, 1j * om, 4,
+                                            tol=cfg.tol)
                     omr = -1j * rr.eigenvalues
                     j = int(np.argmin(np.abs(omr - om)))
                     dw = abs(omr[j] - om) / max(abs(om), 1e-30)
@@ -585,8 +599,14 @@ def _write_farfield_eigen(iodata, sop, post_dir, omega, modes):
         t.add(Column(f"im{d}", f"r*Im{{E_{d}}} (V)"))
     for i in range(len(omega)):
         f = omega[i] / (2 * math.pi) * ghz
-        rE = stratton_chu(sop, tb, modes[i], abs(float(np.real(omega[i]))),
-                          grid)
+        # Complex eigenfrequency: the Stratton-Chu prefactor, phase, and
+        # B = -curl E/(i omega) all use the full complex omega (reference:
+        # postoperator.cpp:1438-1440 passes freq.real()/freq.imag();
+        # strattonchu.cpp:101-140 complex k amplitude+phase).
+        om_i = complex(omega[i])
+        if om_i.real < 0:
+            om_i = -om_i
+        rE = stratton_chu(sop, tb, modes[i], om_i, grid)
         for p in range(len(grid)):
             t.col("i").data.append(float(i + 1))
             t.col("fre").data.append(float(np.real(f)))

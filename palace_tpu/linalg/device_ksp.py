@@ -112,34 +112,50 @@ def _ell_apply(ell, u):
 class ElemTermOperator:
     """Blocked apply y = sum_t coefs[t] * X_t @ u over element (gidx, A)
     tables with one shared sorted-segment-sum scatter (the same machinery as
-    ops/partial.py, extended with the term/frequency coefficient axes)."""
+    ops/partial.py, extended with the term/frequency coefficient axes).
+
+    When the dof numbering is entity-blocked (ops/partial.py
+    detect_dof_group), gather/scatter run at g-dof GROUP granularity:
+    u is viewed as (N/g, g*F) so each gathered/scattered row carries g
+    dofs.  The apply is row-issue bound on TPU (~10 ns per dynamically
+    indexed row regardless of width, PERF_NOTES.md), so this cuts the
+    dominant cost by the group size (g = p for the ND edge blocks)."""
 
     def __init__(self, terms: List[Term], num_dofs: int):
-        from palace_tpu.ops.partial import Scatter
+        from palace_tpu.ops.partial import Scatter, detect_dof_group
 
         self.num_dofs = num_dofs
-        gidx_list, self._entries = [], []
+        gidx_list, raw = [], []
         for ti, t in enumerate(terms):
             for gidx, A in t.tables:
                 gidx_list.append(gidx)
-                self._entries.append((ti, jnp.asarray(gidx),
-                                      jnp.asarray(np.real(A))))
-        sc = Scatter.build(gidx_list, num_dofs)
+                raw.append((ti, np.asarray(gidx), np.real(A)))
+        self.group = detect_dof_group(gidx_list, num_dofs)
+        g = self.group
+        self._entries = [(ti, jnp.asarray(gidx[:, ::g] // g if g > 1
+                                          else gidx), jnp.asarray(A))
+                         for ti, gidx, A in raw]
+        sc = Scatter.build([gidx[:, ::g] // g if g > 1 else gidx
+                            for _, gidx, _ in raw], num_dofs // g)
         self._perm = jnp.asarray(sc.perm)
         self._seg = jnp.asarray(sc.seg_ids)
 
     def __call__(self, coefs, u):
         F = u.shape[1]
+        g = self.group
+        ug = u.reshape(self.num_dofs // g, g * F)
         locals_ = []
-        for ti, gidx, A in self._entries:
-            ul = u[gidx]  # (E, nd, F)
+        for ti, gidxg, A in self._entries:
+            E, ndg = gidxg.shape
+            ul = ug[gidxg].reshape(E, ndg * g, F)  # (E, nd, F)
             vl = jnp.einsum("enm,emf->enf", A, ul)
             vl = vl * coefs[ti][None, None, :]
-            locals_.append(vl.reshape(-1, F))
+            locals_.append(vl.reshape(E * ndg, g * F))
         flat = jnp.concatenate(locals_, axis=0)
-        return jax.ops.segment_sum(flat[self._perm], self._seg,
-                                   num_segments=self.num_dofs,
-                                   indices_are_sorted=True)
+        yg = jax.ops.segment_sum(flat[self._perm], self._seg,
+                                 num_segments=self.num_dofs // g,
+                                 indices_are_sorted=True)
+        return yg.reshape(self.num_dofs, F)
 
 
 class EllTermOperator:

@@ -336,6 +336,9 @@ class ShardedBlockedDeviceSolver:
             A = A + sp.diags(essL.astype(float))
             self._coarse_lus.append(splu(A.tocsc()))
         self._active_lus: List = []
+        import threading
+
+        self._coarse_lock = threading.Lock()
         self._smooth_order = smooth_order
         self._smooth_its = smooth_its
         self._solve_fn = None
@@ -524,9 +527,14 @@ class ShardedBlockedDeviceSolver:
                                            aux_lmax, r, z, post)
 
     def _coarse_cb(self, r):
+        # pure_callback may run concurrently from several devices' runtime
+        # threads (the coarse problem is replicated); scipy's SuperLU solve
+        # is not thread-safe on a shared factorization and aborts under
+        # concurrent entry — serialize.
         r = np.asarray(r)
-        return np.stack([self._active_lus[f].solve(np.ascontiguousarray(
-            r[:, f])) for f in range(r.shape[1])], axis=1)
+        with self._coarse_lock:
+            return np.stack([self._active_lus[f].solve(np.ascontiguousarray(
+                r[:, f])) for f in range(r.shape[1])], axis=1)
 
     def _vcycle_rep(self, li, coefs, bcoefs, lmaxs, aux_lmaxs, r):
         """V-cycle over the replicated levels (li >= 1; index into

@@ -55,6 +55,43 @@ def _scatter_apply(perm, seg_ids, num_dofs, local_vals):
     )
 
 
+def detect_dof_group(gidx_arrays: Sequence[np.ndarray], num_dofs: int) -> int:
+    """Largest g in (4, 3, 2) such that every element dof list is a
+    concatenation of aligned, consecutive g-blocks (and num_dofs % g == 0).
+
+    The entity-block dof numbering gives each edge/face/interior entity a
+    contiguous, aligned run of its p (or 2p(p-1), ...) dofs, so element dof
+    lists decompose into g-groups.  Gathering/scattering at group
+    granularity cuts the per-row dynamic-slice issue cost (the measured
+    bottleneck of the unstructured apply on TPU, PERF_NOTES.md: ~10 ns/row
+    independent of row width) by g while moving the same bytes.
+    """
+    for g in (4, 3, 2):
+        if num_dofs % g:
+            continue
+        ok = True
+        for gidx in gidx_arrays:
+            gidx = np.asarray(gidx)
+            nd = gidx.shape[1]
+            if nd % g:
+                ok = False
+                break
+            a = gidx.reshape(gidx.shape[0], nd // g, g)
+            if (a[:, :, 0] % g).any():
+                ok = False
+                break
+            base = a[:, :, 0]
+            for k in range(1, g):
+                if not np.array_equal(a[:, :, k], base + k):
+                    ok = False
+                    break
+            if not ok:
+                break
+        if ok:
+            return g
+    return 1
+
+
 # Pytree of per-bucket apply tables.
 @dataclass
 class BucketTables:

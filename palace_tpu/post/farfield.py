@@ -57,12 +57,16 @@ def sample_sphere(n_sample: int, theta_phis_deg) -> np.ndarray:
     return np.array(pts) if pts else np.zeros((0, 2))
 
 
-def stratton_chu(sop, tb, E: np.ndarray, omega: float,
+def stratton_chu(sop, tb, E: np.ndarray, omega: "float | complex",
                  theta_phis: np.ndarray) -> np.ndarray:
     """r E_inf at the observation directions: (npts, 3) complex.
 
     tb: NDTraceBasis of the farfield surface (outward normals); E complex
     ND dof vector; B = -curl E/(i omega).
+
+    omega may be complex (eigenmode farfield): k = omega/c is then complex
+    and the e^{ik r0.r'} factor carries the exp(-Im k . r0.r') amplitude
+    (reference: strattonchu.cpp:101-140 k_re/k_im paths).
     """
     from palace_tpu.fem.evaluation import trace_nd
 
