@@ -46,8 +46,13 @@ def test_sharded_eigen_matches_host():
     Mc = M.assemble_csr().tocsr()
     res_host = shift_invert_eigs(Kc, Mc, np.where(ess)[0], sigma, 8,
                                  tol=1e-10)
-    lam_d = np.sort(np.real(res_dev.eigenvalues))[:4]
-    lam_h = np.sort(np.real(res_host.eigenvalues))[:4]
+    # Shift-invert targets the eigenvalues closest to sigma: compare both
+    # solvers' 4 closest-to-sigma values (the host nev=8 solve is a
+    # superset; the lowest-4 sets can legitimately differ).
+    lam_d = np.real(res_dev.eigenvalues)
+    lam_d = np.sort(lam_d[np.argsort(np.abs(lam_d - sigma))[:4]])
+    lam_h = np.real(res_host.eigenvalues)
+    lam_h = np.sort(lam_h[np.argsort(np.abs(lam_h - sigma))[:4]])
     rel = np.abs(lam_d - lam_h) / np.abs(lam_h)
     assert (rel < 1e-8).all(), (lam_d, lam_h, rel)
 
