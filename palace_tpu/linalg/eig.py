@@ -265,6 +265,7 @@ def quadratic_eigs_jd(
     max_rounds: int = 12,
     divfree: Optional[tuple] = None,
     log=None,
+    polish_tol: Optional[float] = None,
 ) -> Optional[EigResult]:
     """Subspace-projection solver for the damped quadratic pencil, seeded
     with the LOSSLESS modes: project (K + lam C + lam^2 M) onto span(V),
@@ -408,7 +409,15 @@ def quadratic_eigs_jd(
     if best is None:
         return None
     lam, X, res, bkwd = best
-    if bkwd.max() > tol:
+    # On strongly non-normal pencils (near-PEC impedance, Q ~ 1-10 sheet
+    # ports) the EIGENVALUE condition number is large: a backward error at
+    # the user tolerance (1e-6) still admits percent-level forward error in
+    # Im(lam), which is what the regression refs compare.  polish_tol
+    # drives the pairs further down (RQI converges quadratically in the
+    # basin) so the forward error is reproducible run-to-run.
+    if polish_tol is None:
+        polish_tol = tol
+    if bkwd.max() > polish_tol:
         # Per-pair quadratic Rayleigh-quotient polish: the subspace rounds
         # stall around 1e-5 on strongly non-normal pencils (expansion
         # directions crowd the Ritz selection), but each pair is already in
@@ -428,7 +437,7 @@ def quadratic_eigs_jd(
                 ri = Ti @ xi
                 nrm = np.linalg.norm(ri) / (Knorm + abs(li) * Cnorm
                                             + abs(li) ** 2 * Mnorm)
-                if nrm <= 0.5 * tol:
+                if nrm <= 0.5 * polish_tol:
                     break
                 try:
                     lui = spla.splu(Ti)
