@@ -182,7 +182,8 @@ def solve(iodata: IoData, output_dir: str | None = None):
                             nev + 4 + 8 * attempt, X0, tol=cfg.tol,
                             divfree=divfree,
                             log=lambda s: print_log(iodata, s),
-                            polish_tol=min(cfg.tol * 1e-4, 1e-10))
+                            polish_tol=min(cfg.tol * 1e-4, 1e-10),
+                            n_polish=cfg.n + 2)
                     except Exception as e:
                         print_log(iodata, f"quadratic JD fast path "
                                           f"unavailable ({e!r})")

@@ -266,6 +266,7 @@ def quadratic_eigs_jd(
     divfree: Optional[tuple] = None,
     log=None,
     polish_tol: Optional[float] = None,
+    n_polish: Optional[int] = None,
 ) -> Optional[EigResult]:
     """Subspace-projection solver for the damped quadratic pencil, seeded
     with the LOSSLESS modes: project (K + lam C + lam^2 M) onto span(V),
@@ -417,20 +418,28 @@ def quadratic_eigs_jd(
     # basin) so the forward error is reproducible run-to-run.
     if polish_tol is None:
         polish_tol = tol
-    if bkwd.max() > polish_tol:
+    # Polish only the pairs that will be reported (closest to sigma):
+    # each RQI step refactorizes P(lam), which dominates wall-clock on
+    # large meshes (the cpw lumped_eigen solve requests 1 mode but the
+    # subspace holds 5+ Ritz pairs).
+    order0 = np.argsort(np.abs(lam - sigma))
+    lam, X = lam[order0], X[:, order0]
+    res, bkwd = res[order0], bkwd[order0]
+    np_polish = len(lam) if n_polish is None else min(n_polish, len(lam))
+    if bkwd[:np_polish].max() > polish_tol:
         # Per-pair quadratic Rayleigh-quotient polish: the subspace rounds
         # stall around 1e-5 on strongly non-normal pencils (expansion
         # directions crowd the Ritz selection), but each pair is already in
         # the basin where inverse iteration with exact refactorization
         # converges quadratically.  One splu per step is cheap at the
         # assembled sizes this path handles.
-        if bkwd.max() > 1e-2:
+        if bkwd[:np_polish].max() > 1e-2:
             return None  # nowhere near; let the caller fall back
         lam = lam.copy()
         X = X.copy()
         res = res.copy()
         bkwd = bkwd.copy()
-        for i in range(len(lam)):
+        for i in range(np_polish):
             li, xi = lam[i], X[:, i]
             for _ in range(8):
                 Ti = (Kr + li * Cr + li * li * Mr).tocsc()
@@ -464,8 +473,9 @@ def quadratic_eigs_jd(
             bkwd[i] = res[i] / (Knorm + abs(li) * Cnorm
                                 + abs(li) ** 2 * Mnorm)
             lam[i], X[:, i] = li, xi
-        log(f"  quadratic JD: RQI polish -> max bkwd {bkwd.max():.2e}")
-        if bkwd.max() > tol:
+        log("  quadratic JD: RQI polish -> max bkwd "
+            f"{bkwd[:np_polish].max():.2e} over {np_polish} pair(s)")
+        if bkwd[:np_polish].max() > tol:
             return None
     order = np.argsort(np.abs(lam - sigma))
     lam, X = lam[order], X[:, order]
