@@ -182,7 +182,14 @@ def solve(iodata: IoData, output_dir: str | None = None):
                             nev + 4 + 8 * attempt, X0, tol=cfg.tol,
                             divfree=divfree,
                             log=lambda s: print_log(iodata, s),
-                            polish_tol=min(cfg.tol * 1e-4, 1e-10),
+                            # The tight polish refactorizes P(lam) per RQI
+                            # step; affordable below ~150k reduced dofs
+                            # (cylinder impedance: +5 min), prohibitive on
+                            # the ~400k-dof cpw meshes (pushed a 1243 s
+                            # solve past 1800 s).
+                            polish_tol=(min(cfg.tol * 1e-4, 1e-10)
+                                        if Kcsr.shape[0] < 150_000
+                                        else None),
                             n_polish=cfg.n + 2)
                     except Exception as e:
                         print_log(iodata, f"quadratic JD fast path "
